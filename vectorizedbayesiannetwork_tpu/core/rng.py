@@ -1,0 +1,49 @@
+"""Deterministic PRNG key derivation.
+
+The reference relies on torch's global RNG (``vbn/core/base.py:40-43``) —
+unusable under jit. Here every stochastic entry point receives an explicit
+key; per-node / per-call subkeys are derived by counter-based ``fold_in`` so
+that (a) results are bitwise reproducible for a given seed, and (b) random
+bits generated inside a sharded program are computed shard-locally (JAX's
+partitionable threefry), with no cross-device RNG state.
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def root_key(seed: int) -> jax.Array:
+    return jax.random.PRNGKey(int(seed))
+
+
+def fold(key: jax.Array, *indices: int) -> jax.Array:
+    """Derive a subkey by folding in a sequence of integers."""
+    for idx in indices:
+        key = jax.random.fold_in(key, idx)
+    return key
+
+
+class KeyStream:
+    """Host-side counter turning one root key into a deterministic stream.
+
+    ``next()`` folds an incrementing counter into the root key. Unlike
+    ``jax.random.split`` chains, the n-th key depends only on (seed, n), so
+    call sites can be reordered during refactors without perturbing other
+    draws.
+    """
+
+    def __init__(self, seed: int) -> None:
+        self._root = root_key(seed)
+        self._counter = 0
+
+    def next(self) -> jax.Array:
+        key = jax.random.fold_in(self._root, self._counter)
+        self._counter += 1
+        return key
+
+    def state(self) -> int:
+        return self._counter
+
+    def set_state(self, counter: int) -> None:
+        self._counter = int(counter)

@@ -1,0 +1,111 @@
+"""Node-wise learning: fit each CPD in topological order.
+
+Capability parity with ``/root/reference/vbn/learning/node_wise.py:29-191``:
+per-node config validation (``cpd`` + ``fit`` required, training keys banned
+at the top level), parent-column concatenation, registry-based CPD
+construction with schema-coerced kwargs, then ``cpd.fit``. Node fits are
+independent given the data, so closed-form fits compile into a handful of
+dense solves; NN fits run jit-scanned optimizer loops (see ``models/``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..config_cast import CPD_SCHEMAS, FIT_SCHEMA, coerce_numbers
+from ..core.registry import CPD_REGISTRY, register_learning
+from ..core.rng import fold
+from ..core.utils import concat_parents, resolve_verbosity
+from ..defaults import TRAINING_KEYS
+
+_RESERVED = {"cpd", "fit", "update"}
+
+
+def validate_node_conf(node: str, conf: Dict) -> None:
+    if not isinstance(conf, dict):
+        raise TypeError(f"nodes_cpds[{node!r}] must be a dict config")
+    if "cpd" not in conf:
+        raise ValueError(f"nodes_cpds[{node!r}] must declare a 'cpd' key")
+    bad = sorted((set(conf) - _RESERVED) & TRAINING_KEYS)
+    if bad:
+        raise ValueError(
+            f"nodes_cpds[{node!r}] has training keys at top level ({bad}); "
+            "move them under 'fit'/'update'."
+        )
+    fit = conf.get("fit")
+    if fit is not None and not isinstance(fit, dict):
+        raise TypeError(f"nodes_cpds[{node!r}]['fit'] must be a dict")
+    update = conf.get("update")
+    if update is not None and not isinstance(update, dict):
+        raise TypeError(f"nodes_cpds[{node!r}]['update'] must be a dict")
+
+
+def build_cpd(node: str, conf: Dict, input_dim: int, output_dim: int, seed: int):
+    """Construct a CPD spec from a node config via the registry."""
+    name = conf["cpd"]
+    if name not in CPD_REGISTRY:
+        raise ValueError(
+            f"Unknown CPD {name!r} for node {node!r}. "
+            f"Available: {sorted(CPD_REGISTRY)}"
+        )
+    hyper = {k: v for k, v in conf.items() if k not in _RESERVED}
+    hyper = coerce_numbers(hyper, CPD_SCHEMAS.get(name, {}))
+    return CPD_REGISTRY[name](
+        input_dim, output_dim, seed=seed, **hyper
+    )
+
+
+@register_learning("node_wise")
+class NodeWiseLearner:
+    def __init__(self, default_cpd: str = "gaussian_nn", **_kwargs) -> None:
+        self.default_cpd = default_cpd
+
+    def fit(
+        self,
+        vbn,
+        data: Dict[str, np.ndarray],
+        verbose: Optional[int] = None,
+        **_kwargs,
+    ):
+        from ..defaults import defaults as _defaults
+
+        verbosity = resolve_verbosity(verbose)
+        nodes_cpds = vbn._learning_config.get("nodes_cpds", {})
+        topo = vbn.dag.topological_order()
+        for node in topo:
+            conf = nodes_cpds.get(node)
+            if conf is None:
+                conf = _defaults.cpd(self.default_cpd)
+                nodes_cpds[node] = conf
+            validate_node_conf(node, conf)
+
+        for node_idx, node in enumerate(topo):
+            conf = nodes_cpds[node]
+            parents = vbn.dag.parents(node)
+            parent_arr = concat_parents(data, parents)
+            x = np.asarray(data[node])
+            input_dim = 0 if parent_arr is None else parent_arr.shape[-1]
+            output_dim = x.shape[-1]
+            cpd = build_cpd(node, conf, input_dim, output_dim, vbn.seed)
+            key = fold(vbn.root_key, 1000 + node_idx)
+            params = cpd.init(key)
+            fit_kwargs = coerce_numbers(dict(conf.get("fit") or {}), FIT_SCHEMA)
+            params = cpd.fit(params, key, parent_arr, x, **fit_kwargs)
+            vbn.nodes[node] = cpd
+            vbn.params[node] = params
+            if verbosity >= 2:
+                print(f"[node_wise] fitted {node} ({conf['cpd']})")
+        return vbn.nodes
+
+
+@register_learning("amortized")
+class AmortizedLearner:
+    """Registered placeholder (parity: ``vbn/learning/amortized.py:6-14``)."""
+
+    def __init__(self, **_kwargs) -> None:
+        pass
+
+    def fit(self, vbn, data, **kwargs):
+        raise NotImplementedError("amortized learning is not implemented yet")
