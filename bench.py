@@ -1,0 +1,109 @@
+"""Headline benchmark: posterior queries/s at 1M particles (BASELINE.json).
+
+Workload: the flagship 3-node linear-Gaussian DAG (README minimal example
+config), monte-carlo-marginalization posterior with B=8 batched queries and
+S=1,048,576 particles per query — the north-star metric "posterior
+queries/s/chip at 1M particles".
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is the speedup over the reference torch implementation
+(/root/reference) running the identical query set on this host's CPU
+(the reference has no published numbers to compare against — SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+B = 8
+S = 1 << 20  # 1M particles
+REPS = 5
+
+
+def bench_tpu() -> float:
+    import jax
+
+    from __graft_entry__ import _flagship
+
+    vbn = _flagship(n=4096)
+    vbn.set_inference_method("monte_carlo_marginalization", n_samples=S)
+    ev = {
+        "x0": np.linspace(-1, 1, B).reshape(B, 1).astype(np.float32),
+        "x1": np.linspace(1, -1, B).reshape(B, 1).astype(np.float32),
+    }
+    query = {"target": "x2", "evidence": ev}
+    # warmup / compile
+    pdf, samples = vbn.infer_posterior(query)
+    jax.block_until_ready((pdf, samples))
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        pdf, samples = vbn.infer_posterior(query)
+    jax.block_until_ready((pdf, samples))
+    dt = time.perf_counter() - t0
+    return (B * REPS) / dt
+
+
+def bench_reference_cpu() -> float:
+    """Reference torch VBN on CPU, identical workload (1 rep)."""
+    sys.path.insert(0, "/root/reference")
+    import networkx as nx
+    import pandas as pd
+    import torch
+
+    from vbn import VBN as RefVBN, defaults as ref_defaults
+
+    g = np.random.default_rng(0)
+    n = 4096
+    x0 = g.normal(size=n)
+    x1 = g.normal(size=n)
+    x2 = 0.5 * x0 - 0.2 * x1 + 0.1 * g.normal(size=n)
+    df = pd.DataFrame({"x0": x0, "x1": x1, "x2": x2})
+    G = nx.DiGraph([("x0", "x2"), ("x1", "x2")])
+    vbn = RefVBN(G, seed=0, device="cpu")
+    vbn.set_learning_method(
+        "node_wise",
+        nodes_cpds={
+            k: ref_defaults.cpd("linear_gaussian") for k in ["x0", "x1", "x2"]
+        },
+    )
+    vbn.fit(df)
+    vbn.set_inference_method("monte_carlo_marginalization", n_samples=S)
+    ev = {
+        "x0": torch.linspace(-1, 1, B).reshape(B, 1),
+        "x1": torch.linspace(1, -1, B).reshape(B, 1),
+    }
+    query = {"target": "x2", "evidence": ev}
+    vbn.infer_posterior(query)  # warmup
+    t0 = time.perf_counter()
+    vbn.infer_posterior(query)
+    dt = time.perf_counter() - t0
+    return B / dt
+
+
+def main() -> None:
+    qps = bench_tpu()
+    vs = None
+    try:
+        ref_qps = bench_reference_cpu()
+        vs = qps / ref_qps
+    except Exception as exc:  # reference env missing -> report absolute only
+        print(f"# reference comparison unavailable: {exc}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "posterior_queries_per_s_at_1M_particles",
+                "value": round(qps, 3),
+                "unit": "queries/s",
+                "vs_baseline": None if vs is None else round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

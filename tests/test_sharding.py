@@ -1,0 +1,114 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+The JAX analogue of the reference's dummy-backend testing trick
+(SURVEY.md §4): all sharded programs must compile AND produce results
+equal to the unsharded ones.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from conftest import make_chain_df, make_chain_graph
+from vectorizedbayesiannetwork_tpu import VBN, defaults
+from vectorizedbayesiannetwork_tpu.parallel.mesh import make_mesh
+from vectorizedbayesiannetwork_tpu.parallel.train import (
+    gaussian_nn_dp_step,
+    linear_gaussian_fit_step,
+    shard_rows,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    return make_mesh(n_data=2, devices=jax.devices()[:8])
+
+
+@pytest.fixture(scope="module")
+def vbn():
+    v = VBN(make_chain_graph(), seed=0)
+    v.set_learning_method(
+        "node_wise",
+        nodes_cpds={
+            k: defaults.cpd("linear_gaussian") for k in ["x0", "x1", "x2"]
+        },
+    )
+    v.fit(make_chain_df())
+    return v
+
+
+def test_sharded_inference_matches_unsharded(vbn, mesh):
+    q = {"target": "x0", "evidence": {"x2": [[0.3], [0.5]]}}
+    vbn.set_inference_method("importance_sampling", n_samples=128)
+    vbn.set_mesh(None)
+    vbn._keys.set_state(1000)
+    w1, s1 = vbn.infer_posterior(q)
+    vbn.set_mesh(mesh)
+    vbn._keys.set_state(1000)
+    w2, s2 = vbn.infer_posterior(q)
+    vbn.set_mesh(None)
+    # partitionable threefry: same key -> same bits regardless of sharding
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+
+
+def test_sharded_sampling_and_stats(vbn, mesh):
+    vbn.set_mesh(mesh)
+    vbn.set_sampling_method("ancestral")
+    s = vbn.sample({"target": "x2", "evidence": {}}, n_samples=512)
+    assert np.isfinite(np.asarray(s)).all()
+    vbn.set_inference_method("likelihood_weighting", n_samples=256)
+    w, smp = vbn.infer_posterior({"target": "x0", "evidence": {"x2": [[0.4]]}})
+    stats = vbn._posterior_stats(w, smp)
+    assert np.isfinite(np.asarray(stats["mean"])).all()
+    vbn.set_mesh(None)
+
+
+def test_dp_fit_matches_single_device(mesh):
+    g = np.random.default_rng(0)
+    n = 1024
+    parents = g.normal(size=(n, 2)).astype(np.float32)
+    x = (
+        parents @ np.array([[0.5], [-0.2]], np.float32)
+        + 0.05 * g.normal(size=(n, 1)).astype(np.float32)
+    )
+    p_sh, x_sh = shard_rows(mesh, parents, x)
+    fit = linear_gaussian_fit_step(mesh, p_sh, x_sh)
+    np.testing.assert_allclose(
+        np.asarray(fit["weight"]).ravel(), [0.5, -0.2], atol=0.02
+    )
+    # equals the library's lstsq fit
+    from vectorizedbayesiannetwork_tpu import CPD_REGISTRY
+
+    cpd = CPD_REGISTRY["linear_gaussian"](2, 1, seed=0)
+    params = cpd.fit(cpd.init(jax.random.PRNGKey(0)), jax.random.PRNGKey(0), parents, x)
+    np.testing.assert_allclose(
+        np.asarray(fit["weight"]), np.asarray(params["weight"]), atol=1e-3
+    )
+
+
+def test_dp_nn_grad_step(mesh):
+    from vectorizedbayesiannetwork_tpu import CPD_REGISTRY
+
+    g = np.random.default_rng(0)
+    parents = g.normal(size=(512, 2)).astype(np.float32)
+    x = (parents @ np.array([[0.5], [-0.2]], np.float32)).astype(np.float32)
+    cpd = CPD_REGISTRY["gaussian_nn"](2, 1, seed=0, hidden_dims=[8])
+    net0 = cpd.init(jax.random.PRNGKey(0))["net"]
+    p_sh, x_sh = shard_rows(mesh, parents, x)
+    net1, opt = gaussian_nn_dp_step(mesh, cpd, net0, None, p_sh, x_sh)
+    # gradient step moved the params
+    assert not np.allclose(
+        np.asarray(net0["layers"][0]["w"]), np.asarray(net1["layers"][0]["w"])
+    )
+    assert float(np.asarray(opt["step"])) == 1.0
+
+
+def test_graft_entry_contract():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.asarray(out[0]).shape == (4, 1024)
+    ge.dryrun_multichip(8)

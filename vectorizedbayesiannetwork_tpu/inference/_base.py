@@ -15,6 +15,7 @@ import jax
 from ..core.base import Query
 from ..core.plan import InferencePlan, get_plan
 from ..core.utils import infer_batch_size
+from ..parallel.mesh import active_mesh, mesh_signature
 
 
 class CompiledMethod:
@@ -36,10 +37,19 @@ class CompiledMethod:
         cpd_sigs = tuple(
             vbn.cpd_spec(n).static_signature() for n in plan.topo_order
         )
-        key = (plan, cpd_sigs) + tag
+        mesh = getattr(vbn, "_mesh", None)
+        key = (plan, cpd_sigs, mesh_signature(mesh)) + tag
         fn = self._fn_cache.get(key)
         if fn is None:
-            fn = jax.jit(build())
+            inner = build()
+
+            def with_mesh(*args, _inner=inner, _mesh=mesh):
+                # Active-mesh context at TRACE time so sweep kernels place
+                # their sharding constraints for this vbn's mesh.
+                with active_mesh(_mesh):
+                    return _inner(*args)
+
+            fn = jax.jit(with_mesh)
             self._fn_cache[key] = fn
         return fn
 

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..core.plan import InferencePlan
 from ..core.rng import fold
+from ..parallel.mesh import constrain_bs, constrain_bsd
 
 
 def sweep_trace(
@@ -36,11 +37,15 @@ def sweep_trace(
     n_samples: int,
     *,
     weighted: bool = False,
+    skip: frozenset = frozenset(),
 ) -> Tuple[jax.Array, jax.Array]:
     """Ancestral sweep. Returns (packed [B,S,total_dim], log_weights [B,S]).
 
     ``log_weights`` accumulates evidence log-likelihoods when ``weighted``
     (likelihood weighting); do-interventions clamp without weight.
+    ``skip`` nodes are left at zero (used by Rao-Blackwellization, which
+    skips the target and its descendants; skipped nodes are never parents
+    of swept nodes by construction).
     """
     b = fixed.shape[0]
     s = n_samples
@@ -50,6 +55,9 @@ def sweep_trace(
     for idx in range(plan.n_nodes):
         d = plan.node_dims[idx]
         off = plan.node_offsets[idx]
+        if idx in skip:
+            vals[idx] = jnp.zeros((b, s, d), jnp.float32)
+            continue
         pidx = plan.parent_idx[idx]
         if pidx:
             parents = jnp.concatenate([vals[p] for p in pidx], axis=-1)
@@ -59,19 +67,19 @@ def sweep_trace(
 
         if plan.is_fixed(idx):
             v = jnp.broadcast_to(fixed[:, None, off : off + d], (b, s, d))
-            vals[idx] = v
+            vals[idx] = constrain_bsd(v)
             if weighted and plan.evidence_mask[idx]:
                 lp = cpds[idx]._log_prob_flat(
                     params_tuple[idx], v.reshape(b * s, d), pflat
                 )
-                log_w = log_w + lp.reshape(b, s)
+                log_w = constrain_bs(log_w + lp.reshape(b, s))
         else:
             sub = fold(key, idx)
             v = cpds[idx]._sample_flat(params_tuple[idx], sub, pflat, b * s)
-            vals[idx] = v.reshape(b, s, d)
+            vals[idx] = constrain_bsd(v.reshape(b, s, d))
 
     packed = jnp.concatenate(vals, axis=-1)
-    return packed, log_w
+    return constrain_bsd(packed), log_w
 
 
 def target_parents_flat(

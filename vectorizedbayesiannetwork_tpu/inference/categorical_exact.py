@@ -1,0 +1,84 @@
+"""Exact categorical posterior over the class support (parents observed).
+
+Capability parity with
+``/root/reference/vbn/inference/categorical_exact.py:13-128``: when the
+target CPD is a categorical family (exposes ``categorical_probs``) with a
+scalar target and all parents observed, return the exact pmf over the class
+support values; anything else routes to the registry fallback.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.base import Query
+from ..core.plan import pack_fixed_values
+from ..core.registry import register_inference
+from ._base import CompiledMethod
+from .gaussian_exact import make_fallback
+
+
+@register_inference("categorical_exact")
+class CategoricalExact(CompiledMethod):
+    def __init__(self, fallback: str = "likelihood_weighting", **kwargs) -> None:
+        super().__init__()
+        self._fallback = make_fallback(fallback, "categorical_exact", kwargs)
+        self._last_fallback = False
+
+    def _fallback_infer(self, vbn, query, **kwargs):
+        self._last_fallback = True
+        if self._fallback is None:
+            raise RuntimeError(
+                "categorical_exact cannot handle this query and has no fallback"
+            )
+        return self._fallback.infer_posterior(vbn, query, **kwargs)
+
+    def infer_posterior(self, vbn, query: Query, **kwargs):
+        self._last_fallback = False
+        plan, b = self._plan_and_batch(vbn, query)
+        t = plan.target_idx
+        cpd = self._cpds(vbn, plan)[t]
+        fixed = pack_fixed_values(query, plan, b, clamp_obs=True)
+        t_off = plan.node_offsets[t]
+        if plan.is_fixed(t):
+            value = fixed[:, None, t_off : t_off + plan.node_dims[t]]
+            return jnp.ones((b, 1), jnp.float32), value
+        if not hasattr(cpd, "categorical_probs") or plan.node_dims[t] != 1:
+            return self._fallback_infer(vbn, query, **kwargs)
+        if not all(plan.is_fixed(p) for p in plan.parent_idx[t]):
+            return self._fallback_infer(vbn, query, **kwargs)
+
+        def build():
+            def fn(params_tuple, fixed_vals):
+                bb = fixed_vals.shape[0]
+                pidx = plan.parent_idx[t]
+                if pidx:
+                    cols = [
+                        fixed_vals[
+                            :,
+                            plan.node_offsets[p] : plan.node_offsets[p]
+                            + plan.node_dims[p],
+                        ]
+                        for p in pidx
+                    ]
+                    pflat = jnp.concatenate(cols, axis=-1)
+                else:
+                    pflat = None
+                probs = cpd.categorical_probs(params_tuple[t], pflat)
+                probs = jnp.broadcast_to(
+                    probs.reshape(-1, probs.shape[-1])[: max(bb, 1)],
+                    (bb, probs.shape[-1]),
+                )
+                if hasattr(cpd, "support_values"):
+                    support = cpd.support_values(params_tuple[t])[0]
+                else:
+                    support = jnp.arange(probs.shape[-1], dtype=jnp.float32)
+                samples = jnp.broadcast_to(
+                    support[None, :, None], (bb, probs.shape[-1], 1)
+                )
+                return probs, samples
+
+            return fn
+
+        fn = self._compiled(vbn, plan, ("cat_exact",), build)
+        return fn(self._params_tuple(vbn, plan), fixed)

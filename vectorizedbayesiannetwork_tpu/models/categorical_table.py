@@ -1,0 +1,323 @@
+"""Exact tabular categorical CPD with Dirichlet/Laplace smoothing.
+
+Capability parity with
+``/root/reference/vbn/cpds/categorical_table.py:23-417``: declared-or-
+inferred parent/class supports, mixed-radix parent indexing, smoothing with
+``alpha_mode`` in {per_class, total_mass} and ``prior`` in {uniform,
+global}, class-mask padding for ragged supports, update = refit.
+
+TPU-first redesign: support inference happens host-side at fit time (numpy)
+and becomes *static spec state*; value->index mapping is a vectorized
+masked comparison-count (no searchsorted, no data-dependent shapes); count
+accumulation is one scatter-add; sampling is Gumbel-argmax over gathered
+log-probs — everything inside the compiled sweep.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.base import BaseCPD, Params
+from ..core.registry import register_cpd
+
+
+def _host_unique(col: np.ndarray) -> np.ndarray:
+    return np.unique(col.astype(np.float32))
+
+
+@register_cpd("categorical_table")
+class CategoricalTableCPD(BaseCPD):
+    def __init__(
+        self,
+        input_dim: int,
+        output_dim: int,
+        *,
+        seed: Optional[int] = None,
+        n_classes: int = 0,
+        parent_n_classes: Optional[List[int]] = None,
+        alpha: float = 1.0,
+        alpha_mode: str = "per_class",
+        prior: str = "uniform",
+        **_ignored,
+    ) -> None:
+        super().__init__(input_dim, output_dim, seed=seed)
+        self.n_classes = int(n_classes)
+        self.parent_n_classes = (
+            [int(v) for v in parent_n_classes]
+            if parent_n_classes is not None
+            else None
+        )
+        self.alpha = float(alpha)
+        self.alpha_mode = str(alpha_mode).lower().strip()
+        self.prior = str(prior).lower().strip()
+        if self.alpha < 0:
+            raise ValueError("alpha must be >= 0")
+        if self.alpha_mode not in {"per_class", "total_mass"}:
+            raise ValueError("alpha_mode must be 'per_class' or 'total_mass'")
+        if self.prior not in {"uniform", "global"}:
+            raise ValueError("prior must be 'uniform' or 'global'")
+        # Fit-time-resolved static structure:
+        self.parent_cards: Optional[Tuple[int, ...]] = None
+        self.max_parent_card: int = 0
+        self.resolved_classes: int = max(self.n_classes, 0)
+
+    def get_init_kwargs(self):
+        return {
+            "n_classes": self.n_classes,
+            "parent_n_classes": self.parent_n_classes,
+            "alpha": self.alpha,
+            "alpha_mode": self.alpha_mode,
+            "prior": self.prior,
+        }
+
+    def get_extra_state(self):
+        return {
+            "parent_cards": (
+                list(self.parent_cards) if self.parent_cards is not None else None
+            ),
+            "max_parent_card": self.max_parent_card,
+            "resolved_classes": self.resolved_classes,
+        }
+
+    def set_extra_state(self, state) -> None:
+        if not state:
+            return
+        pc = state.get("parent_cards")
+        self.parent_cards = tuple(pc) if pc is not None else None
+        self.max_parent_card = int(state.get("max_parent_card", 0))
+        self.resolved_classes = int(
+            state.get("resolved_classes", self.n_classes)
+        )
+
+    def _static_fields(self) -> tuple:
+        return (
+            self.alpha,
+            self.alpha_mode,
+            self.prior,
+            self.parent_cards,
+            self.max_parent_card,
+            self.resolved_classes,
+        )
+
+    @property
+    def _strides(self) -> Tuple[int, ...]:
+        cards = self.parent_cards or ()
+        strides = []
+        s = 1
+        for card in reversed(cards):
+            strides.append(s)
+            s *= card
+        return tuple(reversed(strides))
+
+    @property
+    def _parent_states(self) -> int:
+        s = 1
+        for card in self.parent_cards or ():
+            s *= card
+        return s
+
+    # -- lifecycle ----------------------------------------------------------
+    def init(self, key: jax.Array) -> Params:
+        return {}
+
+    def fit(
+        self,
+        params: Params,
+        key: jax.Array,
+        parents: Optional[jax.Array],
+        x: jax.Array,
+        **_training_kwargs,
+    ) -> Params:
+        x_np = np.asarray(x, np.float32)
+        if x_np.ndim == 1:
+            x_np = x_np[:, None]
+        if x_np.ndim == 3:
+            x_np = x_np.reshape(-1, x_np.shape[-1])
+        n = x_np.shape[0]
+        if parents is None:
+            p_np = np.zeros((n, 0), np.float32)
+        else:
+            p_np = np.asarray(parents, np.float32)
+            if p_np.ndim == 3:
+                p_np = p_np.reshape(-1, p_np.shape[-1])
+        if p_np.shape[-1] != self.input_dim:
+            raise ValueError(
+                f"Expected parents_dim {self.input_dim}, got {p_np.shape[-1]}"
+            )
+
+        # ---- host-side support inference (static spec refinement) ----
+        parent_values: List[np.ndarray] = []
+        cards: List[int] = []
+        if self.parent_n_classes is not None:
+            if len(self.parent_n_classes) != self.input_dim:
+                raise ValueError(
+                    f"parent_n_classes length {len(self.parent_n_classes)} "
+                    f"does not match input_dim {self.input_dim}."
+                )
+            for d, card in enumerate(self.parent_n_classes):
+                if int(card) <= 0:
+                    raise ValueError(
+                        f"Invalid parent cardinality {card} at index {d}."
+                    )
+                support = np.arange(int(card), dtype=np.float32)
+                self._check_in_support(p_np[:, d], support, f"parent {d}")
+                parent_values.append(support)
+                cards.append(int(card))
+        else:
+            for d in range(self.input_dim):
+                uniq = _host_unique(p_np[:, d])
+                parent_values.append(uniq)
+                cards.append(int(uniq.size))
+        self.parent_cards = tuple(cards)
+        self.max_parent_card = max(cards, default=0)
+
+        class_values: List[np.ndarray] = []
+        class_counts: List[int] = []
+        declared = self.n_classes if self.n_classes > 0 else None
+        if declared is not None:
+            for d in range(self.output_dim):
+                support = np.arange(declared, dtype=np.float32)
+                self._check_in_support(x_np[:, d], support, f"target dim {d}")
+                class_values.append(support)
+                class_counts.append(declared)
+            c = declared
+        else:
+            for d in range(self.output_dim):
+                uniq = _host_unique(x_np[:, d])
+                class_values.append(uniq)
+                class_counts.append(int(uniq.size))
+            c = max(class_counts, default=1)
+        self.resolved_classes = int(c)
+
+        class_values_pad = np.zeros((self.output_dim, c), np.float32)
+        class_mask = np.zeros((self.output_dim, c), bool)
+        for d in range(self.output_dim):
+            k = class_counts[d]
+            if k > c:
+                raise ValueError(
+                    f"Found {k} classes for dim {d}, but n_classes={c}."
+                )
+            class_values_pad[d, :k] = class_values[d]
+            class_mask[d, :k] = True
+
+        pv_pad = np.zeros((self.input_dim, max(self.max_parent_card, 1)), np.float32)
+        pv_mask = np.zeros_like(pv_pad, dtype=bool)
+        for d in range(self.input_dim):
+            pv_pad[d, : cards[d]] = parent_values[d]
+            pv_mask[d, : cards[d]] = True
+
+        # ---- device-side count accumulation (one scatter-add) ----
+        new_params = {
+            "class_values": jnp.asarray(class_values_pad),
+            "class_mask": jnp.asarray(class_mask),
+            "parent_values": jnp.asarray(pv_pad),
+            "parent_mask": jnp.asarray(pv_mask),
+        }
+        parent_idx = self._parents_to_index(new_params, jnp.asarray(p_np))
+        target_idx = self._targets_to_index(new_params, jnp.asarray(x_np))
+        p_states = self._parent_states
+        counts = jnp.zeros((self.output_dim, p_states * c), jnp.float32)
+        flat = parent_idx[:, None] * c + target_idx  # [N, Dout]
+        counts = jax.vmap(
+            lambda cnt, idx: cnt.at[idx].add(1.0), in_axes=(0, 1)
+        )(counts, flat)
+        counts = counts.reshape(self.output_dim, p_states, c)
+
+        if self.alpha > 0:
+            mask_f = jnp.asarray(class_mask, jnp.float32)
+            if self.prior == "uniform":
+                prior_probs = mask_f / jnp.maximum(
+                    jnp.sum(mask_f, axis=1, keepdims=True), 1e-12
+                )
+            else:  # global empirical marginal
+                marg = jax.vmap(
+                    lambda idx: jnp.zeros((c,)).at[idx].add(1.0), in_axes=1
+                )(target_idx)
+                marg = marg * mask_f
+                denom = jnp.sum(marg, axis=1, keepdims=True)
+                uniform = mask_f / jnp.maximum(
+                    jnp.sum(mask_f, axis=1, keepdims=True), 1e-12
+                )
+                prior_probs = jnp.where(denom > 1e-12, marg / jnp.maximum(denom, 1e-12), uniform)
+            prior_mass = (
+                self.alpha * c if self.alpha_mode == "per_class" else self.alpha
+            )
+            counts = counts + prior_mass * prior_probs[:, None, :]
+
+        counts = counts * jnp.asarray(class_mask, jnp.float32)[:, None, :]
+        new_params["counts"] = counts
+        return new_params
+
+    @staticmethod
+    def _check_in_support(col, support, label):
+        if not np.isin(col, support).all():
+            raise ValueError(f"Found values outside support for {label}.")
+
+    # -- index mapping (vectorized masked comparison-count) -------------------
+    def _parents_to_index(self, params: Params, parents: jax.Array) -> jax.Array:
+        """[M, Din] float values -> [M] mixed-radix parent state index."""
+        if self.input_dim == 0:
+            return jnp.zeros((parents.shape[0],), jnp.int32)
+        pv = params["parent_values"]  # [Din, K]
+        pm = params["parent_mask"]
+        less = (pv[None, :, :] < parents[:, :, None]) & pm[None, :, :]
+        idx_d = jnp.sum(less, axis=-1).astype(jnp.int32)  # [M, Din]
+        strides = jnp.asarray(self._strides, jnp.int32)
+        return jnp.sum(idx_d * strides[None, :], axis=-1)
+
+    def _targets_to_index(self, params: Params, x: jax.Array) -> jax.Array:
+        """[M, Dout] float values -> [M, Dout] class indices."""
+        cv = params["class_values"]  # [Dout, C]
+        cm = params["class_mask"]
+        less = (cv[None, :, :] < x[:, :, None]) & cm[None, :, :]
+        return jnp.sum(less, axis=-1).astype(jnp.int32)
+
+    # -- pure kernels --------------------------------------------------------
+    def _log_probs(self, params: Params, parents: Optional[jax.Array], m: int):
+        """[M, Dout, C] log conditional class probabilities."""
+        counts = params["counts"]  # [Dout, P, C]
+        if self.input_dim == 0:
+            probs = counts[:, 0, :]
+            probs = probs / jnp.maximum(
+                jnp.sum(probs, axis=-1, keepdims=True), 1e-12
+            )
+            lp = jnp.log(jnp.maximum(probs, 1e-12))
+            return jnp.broadcast_to(lp[None], (m,) + lp.shape)
+        pidx = self._parents_to_index(params, parents)  # [M]
+        sel = counts[:, pidx, :]  # [Dout, M, C]
+        sel = jnp.swapaxes(sel, 0, 1)  # [M, Dout, C]
+        probs = sel / jnp.maximum(jnp.sum(sel, axis=-1, keepdims=True), 1e-12)
+        return jnp.log(jnp.maximum(probs, 1e-12))
+
+    def categorical_probs(self, params: Params, parents: Optional[jax.Array]):
+        m = 1 if parents is None else parents.shape[0]
+        lp = self._log_probs(params, parents, m)
+        if self.output_dim == 1:
+            return jnp.exp(lp[:, 0, :])
+        return jnp.exp(lp)
+
+    def support_values(self, params: Params) -> "jax.Array":
+        """[Dout, C] class values (categorical_exact / RB support grid)."""
+        return params["class_values"]
+
+    def _sample_flat(self, params, key, parents, m):
+        lp = self._log_probs(params, parents, m)  # [M, Dout, C]
+        mask = params["class_mask"][None]  # [1, Dout, C]
+        g = jax.random.gumbel(key, lp.shape, dtype=lp.dtype)
+        scores = jnp.where(mask, lp + g, -jnp.inf)
+        idx = jnp.argmax(scores, axis=-1)  # [M, Dout]
+        cv = params["class_values"]  # [Dout, C]
+        return jnp.take_along_axis(
+            jnp.broadcast_to(cv[None], lp.shape), idx[..., None], axis=-1
+        )[..., 0]
+
+    def _log_prob_flat(self, params, x, parents):
+        m = x.shape[0]
+        lp = self._log_probs(params, parents, m)
+        tidx = self._targets_to_index(params, x)  # [M, Dout]
+        picked = jnp.take_along_axis(lp, tidx[..., None], axis=-1)[..., 0]
+        return jnp.sum(picked, axis=-1)

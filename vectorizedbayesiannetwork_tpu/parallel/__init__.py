@@ -1,0 +1,11 @@
+from .mesh import (
+    DATA_AXIS,
+    PARTICLE_AXIS,
+    active_mesh,
+    constrain_bs,
+    constrain_bsd,
+    constrain_rows,
+    get_active_mesh,
+    make_mesh,
+    mesh_signature,
+)

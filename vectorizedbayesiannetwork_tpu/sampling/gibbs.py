@@ -1,0 +1,154 @@
+"""Multiple-candidate Gibbs sampling, compiled as one scanned MCMC program.
+
+Capability parity with ``/root/reference/vbn/sampling/gibbs.py:12-92``: per
+latent node draw ``n_candidates`` proposals from its CPD, score each by its
+own log-density plus the Markov-blanket children's log-densities, select by
+softmax-multinomial; burn-in + thinning; returns thinned target draws.
+
+TPU-first: the entire chain — burn-in, per-node candidate scoring, thinned
+collection — is ONE ``lax.scan`` program (the reference re-enters Python
+per step per node). A ``n_chains`` option runs independent chains batched
+along the particle axis, turning MCMC wall-clock into parallel width on
+the chip — chains shard over the mesh like particles.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.base import Query
+from ..core.plan import pack_fixed_values
+from ..core.registry import register_sampling
+from ..core.rng import fold
+from ..inference._base import CompiledMethod
+from ..inference._sweep import sweep_trace
+
+
+@register_sampling("gibbs")
+class GibbsSampler(CompiledMethod):
+    def __init__(
+        self,
+        n_samples: int = 200,
+        burn_in: int = 10,
+        n_steps: int = 1,
+        n_chains: int = 1,
+        **_kwargs,
+    ) -> None:
+        super().__init__()
+        self.n_samples = int(n_samples)
+        self.burn_in = int(burn_in)
+        self.n_steps = int(n_steps)
+        self.n_chains = max(1, int(n_chains))
+        self.n_candidates = 8
+
+    def sample(self, vbn, query: Query, n_samples=None, **kwargs):
+        s = int(n_samples or kwargs.get("n_samples", self.n_samples))
+        burn_in = int(kwargs.get("burn_in", self.burn_in))
+        thin = max(1, int(kwargs.get("n_steps", self.n_steps)))
+        chains = max(1, int(kwargs.get("n_chains", self.n_chains)))
+        plan, b = self._plan_and_batch(vbn, query)
+        fixed = pack_fixed_values(query, plan, b)
+        cpds = self._cpds(vbn, plan)
+        t = plan.target_idx
+        k_cand = self.n_candidates
+        draws_per_chain = -(-s // chains)  # ceil
+        total_steps = burn_in + draws_per_chain * thin
+        latent = [
+            i for i in range(plan.n_nodes) if not plan.is_fixed(i)
+        ]
+
+        def build():
+            def fn(params_tuple, key, fixed_vals):
+                bb = fixed_vals.shape[0]
+                c = chains
+                # init: one ancestral sweep with `chains` particles
+                packed, _ = sweep_trace(
+                    plan, cpds, params_tuple, fold(key, 0), fixed_vals, c
+                )
+                # per-node value list [B, C, D]
+                vals = [
+                    packed[
+                        ..., plan.node_offsets[i] : plan.node_offsets[i]
+                        + plan.node_dims[i]
+                    ]
+                    for i in range(plan.n_nodes)
+                ]
+
+                def step(carry, step_key):
+                    vals = list(carry)
+                    for j, idx in enumerate(latent):
+                        d = plan.node_dims[idx]
+                        nkey = fold(step_key, idx)
+                        pidx = plan.parent_idx[idx]
+                        if pidx:
+                            parent = jnp.concatenate(
+                                [vals[p] for p in pidx], axis=-1
+                            )  # [B, C, Dp]
+                            # repeat each chain's parents K times
+                            pk = jnp.repeat(
+                                parent.reshape(bb * c, -1), k_cand, axis=0
+                            )
+                        else:
+                            pk = None
+                        m = bb * c * k_cand
+                        cand = cpds[idx]._sample_flat(
+                            params_tuple[idx], fold(nkey, 1), pk, m
+                        )  # [B*C*K, d]
+                        score = cpds[idx]._log_prob_flat(
+                            params_tuple[idx], cand, pk
+                        )  # [B*C*K]
+                        # children Markov-blanket terms
+                        for ch in plan.children_idx[idx]:
+                            ch_val = jnp.repeat(
+                                vals[ch].reshape(bb * c, -1), k_cand, axis=0
+                            )
+                            parts = []
+                            for p in plan.parent_idx[ch]:
+                                if p == idx:
+                                    parts.append(cand)
+                                else:
+                                    parts.append(
+                                        jnp.repeat(
+                                            vals[p].reshape(bb * c, -1),
+                                            k_cand,
+                                            axis=0,
+                                        )
+                                    )
+                            ch_parents = (
+                                jnp.concatenate(parts, axis=-1)
+                                if parts
+                                else None
+                            )
+                            score = score + cpds[ch]._log_prob_flat(
+                                params_tuple[ch], ch_val, ch_parents
+                            )
+                        # softmax-multinomial over K via Gumbel-argmax
+                        score_k = score.reshape(bb * c, k_cand)
+                        g = jax.random.gumbel(
+                            fold(nkey, 2), score_k.shape, score_k.dtype
+                        )
+                        choice = jnp.argmax(score_k + g, axis=-1)  # [B*C]
+                        sel = jax.nn.one_hot(choice, k_cand, dtype=cand.dtype)
+                        chosen = jnp.einsum(
+                            "mk,mkd->md",
+                            sel,
+                            cand.reshape(bb * c, k_cand, d),
+                        )
+                        vals[idx] = chosen.reshape(bb, c, d)
+                    return tuple(vals), vals[t]
+
+                step_keys = jax.random.split(fold(key, 1), total_steps)
+                _, targets = jax.lax.scan(step, tuple(vals), step_keys)
+                # targets: [total_steps, B, C, Dt]
+                kept = targets[burn_in::thin]  # [draws, B, C, Dt]
+                kept = jnp.moveaxis(kept, 0, 1)  # [B, draws, C, Dt]
+                out = kept.reshape(bb, draws_per_chain * c, plan.node_dims[t])
+                return out[:, :s]
+
+            return fn
+
+        fn = self._compiled(
+            vbn, plan, ("gibbs", s, burn_in, thin, chains), build
+        )
+        return fn(self._params_tuple(vbn, plan), vbn.next_key(), fixed)

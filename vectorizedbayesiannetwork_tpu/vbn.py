@@ -462,6 +462,12 @@ class VBN:
         return Query(target=target, evidence=evidence, do=do)
 
     # ----------------- device management -----------------
+    def set_mesh(self, mesh) -> None:
+        """Attach a ('data', 'particle') jax Mesh; subsequent inference/
+        sampling programs compile with batch/particle sharding constraints
+        (see ``parallel/mesh.py``). Pass None to return to single-device."""
+        self._mesh = mesh
+
     def to_device(self, device) -> None:
         """Place all parameter pytrees on a device (jax.Device or platform str)."""
         if isinstance(device, str):
@@ -668,11 +674,18 @@ def _resolve_checkpoint_paths(path: str):
 
 
 def _flatten_pytree(tree, prefix: str = "") -> Dict[str, np.ndarray]:
-    """Flatten a nested dict-of-arrays pytree into {'a/b/c': array}."""
+    """Flatten a nested dict/list pytree of arrays into {'a/b/#0/c': array}.
+
+    List/tuple entries use '#<index>' path components so the structure
+    round-trips without pickling (npz stays allow_pickle=False).
+    """
     out: Dict[str, np.ndarray] = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
             out.update(_flatten_pytree(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten_pytree(v, f"{prefix}#{i}/"))
     elif tree is None:
         pass
     else:
@@ -688,4 +701,13 @@ def _unflatten_pytree(flat: Dict[str, np.ndarray]):
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = jnp.asarray(arr)
-    return root
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: listify(v) for k, v in node.items()}
+        if node and all(k.startswith("#") for k in node):
+            return [node[f"#{i}"] for i in range(len(node))]
+        return node
+
+    return listify(root)
