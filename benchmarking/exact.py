@@ -1,0 +1,167 @@
+"""Exact inference & sampling on DiscreteBN: the ground-truth engine.
+
+Capability parity with the reference's ground-truth computation
+(``benchmarking/II_query_generation/bnlearn.py:1201-1327`` — exact
+enumeration / pgmpy VariableElimination) and exact ancestral data
+generation (``III_data_generation/bnlearn.py``), self-contained: a small
+factor-based variable-elimination engine over numpy plus a vectorized
+ancestral sampler.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .bif import DiscreteBN
+
+
+class Factor:
+    """Dense factor over a list of discrete variables."""
+
+    def __init__(self, variables: List[str], table: np.ndarray) -> None:
+        self.variables = list(variables)
+        self.table = np.asarray(table, np.float64)
+
+    def reduce(self, var: str, idx: int) -> "Factor":
+        axis = self.variables.index(var)
+        table = np.take(self.table, idx, axis=axis)
+        vs = [v for v in self.variables if v != var]
+        return Factor(vs, table)
+
+    def multiply(self, other: "Factor") -> "Factor":
+        vs = list(self.variables)
+        for v in other.variables:
+            if v not in vs:
+                vs.append(v)
+        a = _broadcast_to(self, vs)
+        b = _broadcast_to(other, vs)
+        return Factor(vs, a * b)
+
+    def marginalize(self, var: str) -> "Factor":
+        axis = self.variables.index(var)
+        vs = [v for v in self.variables if v != var]
+        return Factor(vs, self.table.sum(axis=axis))
+
+
+def _broadcast_to(factor: Factor, variables: List[str]) -> np.ndarray:
+    shape = [1] * len(variables)
+    src_axes = []
+    for v in factor.variables:
+        src_axes.append(variables.index(v))
+    perm_table = factor.table
+    # move factor axes into the target ordering
+    order = np.argsort(src_axes)
+    perm_table = np.transpose(factor.table, axes=order)
+    sorted_axes = sorted(src_axes)
+    for ax, v_idx in enumerate(sorted_axes):
+        shape[v_idx] = perm_table.shape[ax]
+    return perm_table.reshape(shape)
+
+
+def bn_factors(bn: DiscreteBN) -> List[Factor]:
+    factors = []
+    for node in bn.nodes:
+        vs = bn.parents[node] + [node]
+        factors.append(Factor(vs, bn.cpts[node]))
+    return factors
+
+
+def exact_posterior(
+    bn: DiscreteBN,
+    target: str,
+    evidence: Optional[Dict[str, int]] = None,
+) -> np.ndarray:
+    """p(target | evidence) via variable elimination. evidence: node->state idx."""
+    evidence = evidence or {}
+    factors = []
+    for f in bn_factors(bn):
+        for var, idx in evidence.items():
+            if var in f.variables:
+                f = f.reduce(var, idx)
+        factors.append(f)
+    # eliminate everything except the target, min-degree-ish ordering
+    elim = [n for n in bn.topological_order() if n != target and n not in evidence]
+    for var in elim:
+        related = [f for f in factors if var in f.variables]
+        if not related:
+            continue
+        rest = [f for f in factors if var not in f.variables]
+        prod = related[0]
+        for f in related[1:]:
+            prod = prod.multiply(f)
+        factors = rest + [prod.marginalize(var)]
+    result = factors[0]
+    for f in factors[1:]:
+        result = result.multiply(f)
+    # squeeze any stray singleton vars (fully-reduced factors)
+    while len(result.variables) > 1:
+        extra = next(v for v in result.variables if v != target)
+        result = result.marginalize(extra)
+    probs = result.table
+    total = probs.sum()
+    if total <= 0:
+        raise ValueError("Evidence has zero probability under the network")
+    return probs / total
+
+
+def exact_do_posterior(
+    bn: DiscreteBN,
+    target: str,
+    do: Dict[str, int],
+    evidence: Optional[Dict[str, int]] = None,
+) -> np.ndarray:
+    """Interventional p(target | do(...), evidence) via graph surgery."""
+    mutilated = DiscreteBN(
+        name=bn.name + "_do",
+        nodes=list(bn.nodes),
+        states=dict(bn.states),
+        parents={
+            n: ([] if n in do else list(bn.parents[n])) for n in bn.nodes
+        },
+        cpts={},
+    )
+    for n in bn.nodes:
+        if n in do:
+            delta = np.zeros(bn.card(n))
+            delta[do[n]] = 1.0
+            mutilated.cpts[n] = delta
+        else:
+            mutilated.cpts[n] = bn.cpts[n]
+    return exact_posterior(mutilated, target, evidence)
+
+
+def ancestral_sample(
+    bn: DiscreteBN, n: int, seed: int = 0
+) -> Dict[str, np.ndarray]:
+    """n i.i.d. joint samples (state indices) via vectorized ancestral sweep."""
+    rng = np.random.default_rng(seed)
+    out: Dict[str, np.ndarray] = {}
+    for node in bn.topological_order():
+        parents = bn.parents[node]
+        cpt = bn.cpts[node]
+        card = bn.card(node)
+        if not parents:
+            probs = np.broadcast_to(cpt, (n, card))
+        else:
+            idx = tuple(out[p] for p in parents)
+            probs = cpt[idx]  # [n, card]
+        u = rng.random((n, 1))
+        out[node] = (probs.cumsum(axis=1) < u).sum(axis=1).clip(0, card - 1)
+    return out
+
+
+def joint_log_prob(
+    bn: DiscreteBN, assignment: Dict[str, np.ndarray]
+) -> np.ndarray:
+    """Vectorized log p(x) of full assignments (state indices)."""
+    total = None
+    for node in bn.nodes:
+        cpt = bn.cpts[node]
+        idx = tuple(assignment[p] for p in bn.parents[node]) + (
+            assignment[node],
+        )
+        lp = np.log(np.maximum(cpt[idx], 1e-300))
+        total = lp if total is None else total + lp
+    return total

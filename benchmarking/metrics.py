@@ -1,0 +1,114 @@
+"""Divergence & regression metrics.
+
+Capability parity with ``/root/reference/benchmarking/metrics/divergences.py:38-175``
+(KL, Jensen-Shannon + normalized, Wasserstein with cdf fallback, sample-based
+histogram variants) and the stress test's mse/mae/r2
+(``stress_test/run.py:314-352``), plus the IQM +- IQR-std robust aggregation
+used by the reporter (``05_report_results.py:1206-1280``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+_EPS = 1e-12
+
+
+def _normalize(p: np.ndarray) -> np.ndarray:
+    p = np.maximum(np.asarray(p, np.float64), 0.0)
+    s = p.sum()
+    return p / s if s > 0 else np.full_like(p, 1.0 / max(1, p.size))
+
+
+def kl_divergence(p, q) -> float:
+    p, q = _normalize(p), _normalize(q)
+    return float(np.sum(p * np.log((p + _EPS) / (q + _EPS))))
+
+
+def js_divergence(p, q, *, normalized: bool = False) -> float:
+    p, q = _normalize(p), _normalize(q)
+    m = 0.5 * (p + q)
+    js = 0.5 * kl_divergence(p, m) + 0.5 * kl_divergence(q, m)
+    if normalized:
+        js = js / np.log(2.0)
+    return float(js)
+
+
+def wasserstein_distance(p, q, support: Optional[Sequence[float]] = None) -> float:
+    """1-Wasserstein between pmfs on a common ordered support (cdf form)."""
+    p, q = _normalize(p), _normalize(q)
+    if support is None:
+        support = np.arange(p.size, dtype=np.float64)
+    support = np.asarray(support, np.float64)
+    order = np.argsort(support)
+    support, p, q = support[order], p[order], q[order]
+    cdf_diff = np.abs(np.cumsum(p) - np.cumsum(q))[:-1]
+    gaps = np.diff(support)
+    return float(np.sum(cdf_diff * gaps))
+
+
+def sample_histogram_pmf(samples, weights=None, n_bins: int = 50, lo=None, hi=None):
+    samples = np.asarray(samples, np.float64).ravel()
+    lo = np.min(samples) if lo is None else lo
+    hi = np.max(samples) if hi is None else hi
+    if hi <= lo:
+        hi = lo + 1e-6
+    hist, edges = np.histogram(
+        samples, bins=n_bins, range=(lo, hi), weights=weights
+    )
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    return _normalize(hist), centers
+
+
+def sample_js(samples_p, samples_q, n_bins: int = 50) -> float:
+    lo = min(np.min(samples_p), np.min(samples_q))
+    hi = max(np.max(samples_p), np.max(samples_q))
+    p, _ = sample_histogram_pmf(samples_p, n_bins=n_bins, lo=lo, hi=hi)
+    q, _ = sample_histogram_pmf(samples_q, n_bins=n_bins, lo=lo, hi=hi)
+    return js_divergence(p, q)
+
+
+def regression_metrics(y_true, y_pred) -> Dict[str, float]:
+    y_true = np.asarray(y_true, np.float64).ravel()
+    y_pred = np.asarray(y_pred, np.float64).ravel()
+    err = y_pred - y_true
+    mse = float(np.mean(err**2))
+    mae = float(np.mean(np.abs(err)))
+    var = float(np.var(y_true))
+    r2 = float(1.0 - mse / var) if var > 0 else float("nan")
+    return {"mse": mse, "mae": mae, "r2": r2}
+
+
+def iqm(values) -> float:
+    """Interquartile mean (robust aggregate used throughout the reference)."""
+    v = np.sort(np.asarray(values, np.float64).ravel())
+    v = v[np.isfinite(v)]
+    if v.size == 0:
+        return float("nan")
+    lo, hi = np.quantile(v, [0.25, 0.75])
+    mid = v[(v >= lo) & (v <= hi)]
+    return float(np.mean(mid)) if mid.size else float(np.mean(v))
+
+
+def iqr_std(values) -> float:
+    v = np.asarray(values, np.float64).ravel()
+    v = v[np.isfinite(v)]
+    if v.size == 0:
+        return float("nan")
+    lo, hi = np.quantile(v, [0.25, 0.75])
+    mid = v[(v >= lo) & (v <= hi)]
+    return float(np.std(mid)) if mid.size else float(np.std(v))
+
+
+def robust_summary(values) -> Dict[str, float]:
+    v = np.asarray(values, np.float64).ravel()
+    finite = v[np.isfinite(v)]
+    return {
+        "iqm": iqm(v),
+        "iqr_std": iqr_std(v),
+        "mean": float(np.mean(finite)) if finite.size else float("nan"),
+        "std": float(np.std(finite)) if finite.size else float("nan"),
+        "n": int(finite.size),
+    }

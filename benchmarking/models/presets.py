@@ -1,0 +1,72 @@
+"""Named model presets.
+
+Parity with the reference's YAML preset families
+(/root/reference/benchmarking/models/presets/vbn.yaml: vbn_ct_lw /
+vbn_ct_ris / vbn_lg_mcm / exact variants...), as code for hashability.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from .config import ComponentSpec, ModelBenchmarkConfig
+
+PRESETS: Dict[str, ModelBenchmarkConfig] = {}
+
+
+def _add(cfg: ModelBenchmarkConfig) -> None:
+    PRESETS[cfg.config_id] = cfg
+
+
+_add(ModelBenchmarkConfig(
+    "vbn_ct_lw", "vbn_tpu",
+    cpd=ComponentSpec.make("categorical_table"),
+    inference=ComponentSpec.make("likelihood_weighting", n_samples=2048),
+))
+_add(ModelBenchmarkConfig(
+    "vbn_ct_is", "vbn_tpu",
+    cpd=ComponentSpec.make("categorical_table"),
+    inference=ComponentSpec.make("importance_sampling", n_samples=2048),
+))
+_add(ModelBenchmarkConfig(
+    "vbn_ct_ris", "vbn_tpu",
+    cpd=ComponentSpec.make("categorical_table"),
+    inference=ComponentSpec.make(
+        "resampled_importance_sampling", n_samples=2048
+    ),
+))
+_add(ModelBenchmarkConfig(
+    "vbn_ct_ce", "vbn_tpu",
+    cpd=ComponentSpec.make("categorical_table"),
+    inference=ComponentSpec.make("categorical_exact"),
+))
+_add(ModelBenchmarkConfig(
+    "vbn_ct_rao", "vbn_tpu",
+    cpd=ComponentSpec.make("categorical_table"),
+    inference=ComponentSpec.make(
+        "rao_blackwellized_marginalization", n_samples=1024, n_particles=1024
+    ),
+))
+_add(ModelBenchmarkConfig(
+    "vbn_emb_lw", "vbn_tpu",
+    cpd=ComponentSpec.make("categorical_embedded_softmax", embedding_dim=8),
+    inference=ComponentSpec.make("likelihood_weighting", n_samples=2048),
+))
+_add(ModelBenchmarkConfig("exact_oracle", "exact_oracle"))
+_add(ModelBenchmarkConfig(
+    "ref_vbn_ct_lw", "reference_vbn",
+    cpd=ComponentSpec.make("categorical_table"),
+    inference=ComponentSpec.make("likelihood_weighting", n_samples=2048),
+))
+
+
+def resolve_model_spec(spec: str) -> ModelBenchmarkConfig:
+    """'backend[:config_id]' -> config (parity: 04_run_benchmark.py:14-120)."""
+    if spec in PRESETS:
+        return PRESETS[spec]
+    if ":" in spec:
+        backend, config_id = spec.split(":", 1)
+        if config_id in PRESETS:
+            return PRESETS[config_id]
+        return ModelBenchmarkConfig(config_id=config_id, backend=backend)
+    return ModelBenchmarkConfig(config_id=spec, backend=spec)

@@ -1,0 +1,176 @@
+"""Network acquisition: builtin classics, random generators, local BIF files.
+
+Stage-I analogue of the reference's bnlearn downloader
+(``benchmarking/I_data_download``). The reference fetches 31 networks from
+bnlearn.com (``metadata/bnlearn.json``); a zero-egress TPU pod cannot, so
+this stage provides:
+  * builtin textbook networks (sprinkler, cancer, asia-style chains) whose
+    structures/CPTs are standard textbook material;
+  * a seeded random discrete-network generator with controllable node
+    count, max in-degree and cardinality (covers the benchmark's
+    5..1041-node scaling axis);
+  * a loader for any locally provided ``.bif``/``.bif.gz`` files.
+
+A registry keyed by source name mirrors ``I_data_download/registry.py``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from .bif import DiscreteBN, load_bif
+
+DOWNLOADER_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_source(name: str):
+    def deco(fn):
+        if name in DOWNLOADER_REGISTRY:
+            raise KeyError(f"Duplicate network source {name!r}")
+        DOWNLOADER_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Builtin textbook networks
+# ---------------------------------------------------------------------------
+
+def sprinkler() -> DiscreteBN:
+    """Classic cloudy/sprinkler/rain/wet-grass network."""
+    bn = DiscreteBN(name="sprinkler")
+    for node in ["cloudy", "sprinkler", "rain", "wet"]:
+        bn.nodes.append(node)
+        bn.states[node] = ["no", "yes"]
+    bn.parents = {
+        "cloudy": [],
+        "sprinkler": ["cloudy"],
+        "rain": ["cloudy"],
+        "wet": ["sprinkler", "rain"],
+    }
+    bn.cpts = {
+        "cloudy": np.array([0.5, 0.5]),
+        "sprinkler": np.array([[0.5, 0.5], [0.9, 0.1]]),
+        "rain": np.array([[0.8, 0.2], [0.2, 0.8]]),
+        "wet": np.array(
+            [
+                [[1.0, 0.0], [0.1, 0.9]],
+                [[0.1, 0.9], [0.01, 0.99]],
+            ]
+        ),
+    }
+    bn.nodes = bn.topological_order()
+    bn.validate()
+    return bn
+
+
+def cancer() -> DiscreteBN:
+    """Pollution/Smoker -> Cancer -> Xray/Dyspnoea (Korb & Nicholson)."""
+    bn = DiscreteBN(name="cancer")
+    spec = {
+        "pollution": (["low", "high"], [], np.array([0.9, 0.1])),
+        "smoker": (["false", "true"], [], np.array([0.7, 0.3])),
+        "cancer": (
+            ["false", "true"],
+            ["pollution", "smoker"],
+            np.array(
+                [[[0.999, 0.001], [0.97, 0.03]], [[0.98, 0.02], [0.95, 0.05]]]
+            ),
+        ),
+        "xray": (
+            ["negative", "positive"],
+            ["cancer"],
+            np.array([[0.8, 0.2], [0.1, 0.9]]),
+        ),
+        "dyspnoea": (
+            ["false", "true"],
+            ["cancer"],
+            np.array([[0.7, 0.3], [0.35, 0.65]]),
+        ),
+    }
+    for node, (states, parents, cpt) in spec.items():
+        bn.nodes.append(node)
+        bn.states[node] = states
+        bn.parents[node] = parents
+        bn.cpts[node] = cpt
+    bn.nodes = bn.topological_order()
+    bn.validate()
+    return bn
+
+
+def random_bn(
+    n_nodes: int = 10,
+    max_indegree: int = 3,
+    max_card: int = 3,
+    seed: int = 0,
+    alpha: float = 0.8,
+    name: Optional[str] = None,
+) -> DiscreteBN:
+    """Seeded random discrete BN with Dirichlet CPTs."""
+    rng = np.random.default_rng(seed)
+    bn = DiscreteBN(name=name or f"random_{n_nodes}n_s{seed}")
+    names = [f"v{i}" for i in range(n_nodes)]
+    for i, node in enumerate(names):
+        card = int(rng.integers(2, max_card + 1))
+        bn.nodes.append(node)
+        bn.states[node] = [f"s{k}" for k in range(card)]
+        n_par = int(rng.integers(0, min(max_indegree, i) + 1))
+        parent_ids = (
+            rng.choice(i, size=n_par, replace=False) if n_par else []
+        )
+        bn.parents[node] = [names[j] for j in sorted(parent_ids)]
+    for node in names:
+        p_cards = tuple(bn.card(p) for p in bn.parents[node])
+        card = bn.card(node)
+        cpt = rng.dirichlet([alpha] * card, size=p_cards or (1,))
+        bn.cpts[node] = cpt.reshape(p_cards + (card,)) if p_cards else cpt[0]
+    bn.nodes = bn.topological_order()
+    bn.validate()
+    return bn
+
+
+BUILTIN_NETWORKS: Dict[str, Callable[[], DiscreteBN]] = {
+    "sprinkler": sprinkler,
+    "cancer": cancer,
+}
+
+
+@register_source("builtin")
+def acquire_builtin(names: Optional[List[str]] = None, **_kw) -> List[DiscreteBN]:
+    names = names or sorted(BUILTIN_NETWORKS)
+    return [BUILTIN_NETWORKS[n]() for n in names]
+
+
+@register_source("random")
+def acquire_random(
+    sizes: Optional[List[int]] = None, seed: int = 0, max_card: int = 3, **_kw
+) -> List[DiscreteBN]:
+    sizes = sizes or [5, 10, 20]
+    return [
+        random_bn(n, seed=seed + i, max_card=max_card)
+        for i, n in enumerate(sizes)
+    ]
+
+
+@register_source("bif_dir")
+def acquire_bif_dir(path: str = ".", **_kw) -> List[DiscreteBN]:
+    """Load all .bif/.bif.gz files from a local directory (e.g. a manually
+    provisioned bnlearn mirror)."""
+    out = []
+    for fname in sorted(os.listdir(path)):
+        if fname.endswith((".bif", ".bif.gz")):
+            out.append(load_bif(os.path.join(path, fname)))
+    return out
+
+
+def acquire(source: str, **kwargs) -> List[DiscreteBN]:
+    if source not in DOWNLOADER_REGISTRY:
+        raise ValueError(
+            f"Unknown network source {source!r}. "
+            f"Available: {sorted(DOWNLOADER_REGISTRY)}"
+        )
+    return DOWNLOADER_REGISTRY[source](**kwargs)

@@ -1,0 +1,124 @@
+"""End-to-end pipeline orchestration over a bundle (stages I–V).
+
+The programmatic equivalent of the reference's ``scripts/01..05_*.py``
+stage CLIs, callable as functions (used by the CLI in
+``benchmarking/scripts/bench_cli.py`` and by tests).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+from .bif import to_bif
+from .bundles import BenchmarkBundle, BenchmarkBundleSpec, write_jsonl
+from .data_gen import write_problem_assets
+from .networks import acquire
+from .query_gen import (
+    compute_ground_truth,
+    cpd_ground_truth,
+    generate_cpd_queries,
+    generate_inference_queries,
+)
+
+
+def stage_networks(bundle: BenchmarkBundle) -> List[str]:
+    """Stage I: acquire networks, write .bif files."""
+    nets = acquire(bundle.spec.source, **bundle.spec.source_kwargs)
+    ndir = bundle.dir("networks")
+    for bn in nets:
+        with open(
+            os.path.join(ndir, f"{bn.name}.bif"), "w", encoding="utf-8"
+        ) as f:
+            f.write(to_bif(bn))
+    bundle.save_metadata({"networks": [bn.name for bn in nets]})
+    return [bn.name for bn in nets]
+
+
+def _load_network(bundle: BenchmarkBundle, problem: str):
+    from .bif import load_bif
+
+    return load_bif(os.path.join(bundle.dir("networks"), f"{problem}.bif"))
+
+
+def stage_queries(bundle: BenchmarkBundle) -> None:
+    """Stage II: generate queries + exact ground truth per problem."""
+    spec = bundle.spec
+    for problem in bundle.problems():
+        bn = _load_network(bundle, problem)
+        qdir = bundle.dir("queries", problem)
+        gdir = bundle.dir("ground_truth", problem)
+        gt_records: List[Dict] = []
+        if spec.mode in ("inference", "both"):
+            queries = generate_inference_queries(
+                bn,
+                n_queries=spec.n_queries,
+                seed=spec.seed,
+                evidence_modes=tuple(spec.evidence_modes),
+            )
+            write_jsonl(
+                os.path.join(qdir, "inference_queries.jsonl"),
+                [q.to_dict() for q in queries],
+            )
+            gt_records += compute_ground_truth(bn, queries)
+        if spec.mode in ("cpds", "both"):
+            cqueries = generate_cpd_queries(
+                bn, n_queries=spec.n_queries, seed=spec.seed
+            )
+            write_jsonl(
+                os.path.join(qdir, "cpd_queries.jsonl"),
+                [q.to_dict() for q in cqueries],
+            )
+            gt_records += cpd_ground_truth(bn, cqueries)
+        write_jsonl(os.path.join(gdir, "ground_truth.jsonl"), gt_records)
+
+
+def stage_data(bundle: BenchmarkBundle, n_datasets: int = 1) -> None:
+    """Stage III: exact ancestral training data + domain schema."""
+    for problem in bundle.problems():
+        bn = _load_network(bundle, problem)
+        write_problem_assets(
+            bn,
+            bundle.dir("datasets", problem),
+            n_rows=bundle.spec.n_rows,
+            base_seed=bundle.spec.seed,
+            n_datasets=n_datasets,
+        )
+
+
+def stage_run(
+    bundle: BenchmarkBundle,
+    model_specs: List[str],
+    seed: int = 0,
+    max_batch: int = 256,
+) -> Dict:
+    """Stage IIII: run models."""
+    from .models.presets import resolve_model_spec
+    from .runner import BenchmarkRunner
+
+    configs = [resolve_model_spec(s) for s in model_specs]
+    runner = BenchmarkRunner(bundle)
+    return runner.run_all(configs, seed=seed, max_batch=max_batch)
+
+
+def stage_report(bundle: BenchmarkBundle) -> str:
+    """Stage V: metrics + markdown report."""
+    from .report import render_report
+
+    return render_report(bundle)
+
+
+def run_pipeline(
+    root: str,
+    model_specs: List[str],
+    spec: Optional[BenchmarkBundleSpec] = None,
+) -> BenchmarkBundle:
+    """All five stages end-to-end into a fresh bundle."""
+    spec = spec or BenchmarkBundleSpec()
+    bundle = BenchmarkBundle(root, spec)
+    stage_networks(bundle)
+    stage_queries(bundle)
+    stage_data(bundle)
+    stage_run(bundle, model_specs, seed=spec.seed)
+    stage_report(bundle)
+    return bundle

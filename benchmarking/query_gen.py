@@ -1,0 +1,213 @@
+"""Stage II: query generation with exact ground truth.
+
+Capability parity with ``benchmarking/II_query_generation`` of the
+reference: ``CPDQuery``/``InferenceQuery`` dataclasses with skeleton ids,
+evidence modes {empty, on_manifold, off_manifold} and tasks
+{prediction, diagnosis} (``base.py:68-134``); graph-aware target selection
+(Markov-blanket size / depth diversity, ``bnlearn.py:423-760``); ground
+truth via exact variable elimination (``bnlearn.py:1201-1327``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .bif import DiscreteBN
+from .exact import ancestral_sample, exact_posterior
+
+
+@dataclass
+class CPDQuery:
+    query_id: str
+    node: str
+    parent_assignment: Dict[str, int]  # parent -> state index
+
+    def to_dict(self) -> Dict:
+        return dataclasses.asdict(self)
+
+
+@dataclass
+class InferenceQuery:
+    query_id: str
+    target: str
+    evidence: Dict[str, int]  # node -> state index
+    do: Dict[str, int] = field(default_factory=dict)
+    skeleton_id: str = ""  # same (target, evidence-keys) => batchable
+    evidence_mode: str = "on_manifold"
+    task: str = "prediction"  # prediction: evidence upstream; diagnosis: downstream
+
+    def to_dict(self) -> Dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict) -> "InferenceQuery":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+def _ancestors(bn: DiscreteBN, node: str) -> set:
+    out = set()
+    stack = list(bn.parents[node])
+    while stack:
+        p = stack.pop()
+        if p not in out:
+            out.add(p)
+            stack.extend(bn.parents[p])
+    return out
+
+
+def _descendants(bn: DiscreteBN, node: str) -> set:
+    children: Dict[str, List[str]] = {n: [] for n in bn.nodes}
+    for c in bn.nodes:
+        for p in bn.parents[c]:
+            children[p].append(c)
+    out = set()
+    stack = list(children[node])
+    while stack:
+        c = stack.pop()
+        if c not in out:
+            out.add(c)
+            stack.extend(children[c])
+    return out
+
+
+def _markov_blanket(bn: DiscreteBN, node: str) -> set:
+    children = [c for c in bn.nodes if node in bn.parents[c]]
+    mb = set(bn.parents[node]) | set(children)
+    for c in children:
+        mb |= set(bn.parents[c])
+    mb.discard(node)
+    return mb
+
+
+def select_targets(bn: DiscreteBN, n_targets: int, rng) -> List[str]:
+    """Diversity-aware target pick: rank by Markov-blanket size + depth
+    spread (the reference's PAC-diverse selection, bnlearn.py:601-760)."""
+    order = bn.topological_order()
+    depth = {n: 0 for n in order}
+    for n in order:
+        for p in bn.parents[n]:
+            depth[n] = max(depth[n], depth[p] + 1)
+    scored = sorted(
+        bn.nodes,
+        key=lambda n: (len(_markov_blanket(bn, n)), depth[n]),
+        reverse=True,
+    )
+    # mix: top-MB nodes + random spread
+    k = max(1, n_targets // 2)
+    picks = scored[:k]
+    rest = [n for n in bn.nodes if n not in picks]
+    if rest and n_targets - len(picks) > 0:
+        picks += list(
+            rng.choice(rest, size=min(len(rest), n_targets - len(picks)),
+                       replace=False)
+        )
+    return picks[:n_targets]
+
+
+def generate_inference_queries(
+    bn: DiscreteBN,
+    n_queries: int = 64,
+    seed: int = 0,
+    evidence_modes: Tuple[str, ...] = ("empty", "on_manifold", "off_manifold"),
+    max_evidence: int = 3,
+) -> List[InferenceQuery]:
+    rng = np.random.default_rng(seed)
+    n_targets = min(len(bn.nodes), max(2, n_queries // 8))
+    targets = select_targets(bn, n_targets, rng)
+    manifold = ancestral_sample(bn, max(n_queries * 2, 256), seed=seed + 1)
+    queries: List[InferenceQuery] = []
+    qid = 0
+    while len(queries) < n_queries:
+        target = targets[qid % len(targets)]
+        mode = evidence_modes[qid % len(evidence_modes)]
+        task = "prediction" if qid % 2 == 0 else "diagnosis"
+        pool = sorted(
+            (_ancestors(bn, target) if task == "prediction"
+             else _descendants(bn, target))
+            or (set(bn.nodes) - {target})
+        )
+        if mode == "empty" or not pool:
+            evidence: Dict[str, int] = {}
+        else:
+            k = int(rng.integers(1, min(max_evidence, len(pool)) + 1))
+            ev_nodes = list(rng.choice(pool, size=k, replace=False))
+            if mode == "on_manifold":
+                row = int(rng.integers(0, len(manifold[ev_nodes[0]])))
+                evidence = {n: int(manifold[n][row]) for n in ev_nodes}
+            else:  # off_manifold: independent uniform states
+                evidence = {
+                    n: int(rng.integers(0, bn.card(n))) for n in ev_nodes
+                }
+        skeleton = f"{target}|{','.join(sorted(evidence))}|{mode}"
+        queries.append(
+            InferenceQuery(
+                query_id=f"q{qid:05d}",
+                target=target,
+                evidence=evidence,
+                skeleton_id=skeleton,
+                evidence_mode=mode,
+                task=task,
+            )
+        )
+        qid += 1
+    return queries
+
+
+def generate_cpd_queries(
+    bn: DiscreteBN, n_queries: int = 64, seed: int = 0
+) -> List[CPDQuery]:
+    rng = np.random.default_rng(seed)
+    queries = []
+    nodes = [n for n in bn.nodes]
+    for qid in range(n_queries):
+        node = nodes[int(rng.integers(0, len(nodes)))]
+        assignment = {
+            p: int(rng.integers(0, bn.card(p))) for p in bn.parents[node]
+        }
+        queries.append(
+            CPDQuery(
+                query_id=f"c{qid:05d}", node=node, parent_assignment=assignment
+            )
+        )
+    return queries
+
+
+def compute_ground_truth(
+    bn: DiscreteBN, queries: List[InferenceQuery]
+) -> List[Dict]:
+    """Exact posterior pmf per query (VE; impossible evidence -> error rec)."""
+    out = []
+    for q in queries:
+        rec: Dict = {"query_id": q.query_id, "target": q.target}
+        try:
+            probs = exact_posterior(bn, q.target, q.evidence or None)
+            rec["probs"] = [float(p) for p in probs]
+            rec["states"] = bn.states[q.target]
+            rec["ok"] = True
+        except Exception as exc:
+            rec["ok"] = False
+            rec["error"] = str(exc)
+        out.append(rec)
+    return out
+
+
+def cpd_ground_truth(bn: DiscreteBN, queries: List[CPDQuery]) -> List[Dict]:
+    out = []
+    for q in queries:
+        cpt = bn.cpts[q.node]
+        idx = tuple(q.parent_assignment[p] for p in bn.parents[q.node])
+        out.append(
+            {
+                "query_id": q.query_id,
+                "node": q.node,
+                "probs": [float(p) for p in cpt[idx]],
+                "states": bn.states[q.node],
+                "ok": True,
+            }
+        )
+    return out

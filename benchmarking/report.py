@@ -1,0 +1,229 @@
+"""Stage V: reporting — join results vs ground truth, aggregate, render.
+
+Capability parity with
+``/root/reference/benchmarking/scripts/05_report_results.py`` (4.7k LoC in
+the reference; the capabilities retained here): per-query joins by query id
+(432-468), per-metric robust summaries IQM ± IQR-std (1206-1280),
+solver-set partitions — the "common subset" every model solved vs each
+model's own solved subset — for fairness (``compute_partitions`` 500-621),
+success-rate/coverage tables, and a markdown report tree
+``report/{index.md, aggregate.md, single/<problem>.md}``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+from typing import Dict, List, Optional, Set
+
+import numpy as np
+
+from .bundles import BenchmarkBundle, read_jsonl
+from .metrics import (
+    js_divergence,
+    kl_divergence,
+    robust_summary,
+    wasserstein_distance,
+)
+
+METRIC_FNS = {
+    "kl": kl_divergence,
+    "js": lambda p, q: js_divergence(p, q, normalized=True),
+    "ws": wasserstein_distance,
+}
+
+
+def join_results(
+    bundle: BenchmarkBundle, problem: str
+) -> Dict[str, Dict[str, Dict]]:
+    """{model: {query_id: {gt_probs, probs, ok, timing_ms, kind}}}."""
+    gt_path = os.path.join(
+        bundle.dir("ground_truth", problem), "ground_truth.jsonl"
+    )
+    gt = {r["query_id"]: r for r in read_jsonl(gt_path)} if os.path.exists(
+        gt_path
+    ) else {}
+    rdir = bundle.dir("results", problem)
+    out: Dict[str, Dict[str, Dict]] = {}
+    for fname in sorted(os.listdir(rdir)):
+        if not fname.endswith(".jsonl"):
+            continue
+        model = fname[: -len(".jsonl")]
+        joined = {}
+        for rec in read_jsonl(os.path.join(rdir, fname)):
+            qid = rec["query"]["query_id"]
+            g = gt.get(qid)
+            joined[qid] = {
+                "kind": rec.get("kind"),
+                "ok": bool(rec["result"].get("ok")),
+                "probs": rec["result"].get("probs"),
+                "timing_ms": rec["result"].get("timing_ms"),
+                "gt_probs": g.get("probs") if g and g.get("ok") else None,
+            }
+        out[model] = joined
+    return out
+
+
+def compute_metrics(joined: Dict[str, Dict[str, Dict]]) -> Dict[str, Dict]:
+    """Per model: metric lists over its solved queries + solved set."""
+    per_model: Dict[str, Dict] = {}
+    for model, queries in joined.items():
+        metric_vals = defaultdict(list)
+        solved: Set[str] = set()
+        timings = []
+        for qid, row in queries.items():
+            if not row["ok"] or row["probs"] is None:
+                continue
+            solved.add(qid)
+            if row["timing_ms"] is not None:
+                timings.append(row["timing_ms"])
+            if row["gt_probs"] is None:
+                continue
+            p = np.asarray(row["gt_probs"])
+            q = np.asarray(row["probs"])
+            if p.shape != q.shape:
+                continue
+            for name, fn in METRIC_FNS.items():
+                metric_vals[name].append(fn(p, q))
+        per_model[model] = {
+            "solved": solved,
+            "n_total": len(queries),
+            "metrics": dict(metric_vals),
+            "timings": timings,
+        }
+    return per_model
+
+
+def compute_partitions(per_model: Dict[str, Dict]) -> Dict:
+    """Common-subset vs own-subset fairness split (parity 500-621)."""
+    if not per_model:
+        return {"common": set(), "own": {}}
+    common: Optional[Set[str]] = None
+    for info in per_model.values():
+        common = (
+            set(info["solved"])
+            if common is None
+            else common & info["solved"]
+        )
+    return {
+        "common": common or set(),
+        "own": {m: info["solved"] for m, info in per_model.items()},
+    }
+
+
+def aggregate_problem(
+    bundle: BenchmarkBundle, problem: str
+) -> Dict[str, Dict]:
+    joined = join_results(bundle, problem)
+    per_model = compute_metrics(joined)
+    partitions = compute_partitions(per_model)
+    common = partitions["common"]
+    table: Dict[str, Dict] = {}
+    for model, info in per_model.items():
+        row: Dict = {
+            "success_rate": len(info["solved"]) / max(1, info["n_total"]),
+            "coverage": len(info["solved"]),
+            "n_total": info["n_total"],
+            "timing_ms": robust_summary(info["timings"]),
+        }
+        for name, vals in info["metrics"].items():
+            row[name] = robust_summary(vals)
+        # metric restricted to the common solved subset
+        joined_m = joined[model]
+        for name, fn in METRIC_FNS.items():
+            vals = []
+            for qid in common:
+                r = joined_m.get(qid)
+                if r and r["gt_probs"] is not None and r["probs"] is not None:
+                    p, q = np.asarray(r["gt_probs"]), np.asarray(r["probs"])
+                    if p.shape == q.shape:
+                        vals.append(fn(p, q))
+            row[f"{name}_common"] = robust_summary(vals)
+        table[model] = row
+    return table
+
+
+def _fmt(summary: Dict) -> str:
+    if not summary or summary.get("n", 0) == 0:
+        return "—"
+    return f"{summary['iqm']:.4f}±{summary['iqr_std']:.4f}"
+
+
+def render_report(bundle: BenchmarkBundle) -> str:
+    """Write the markdown report tree; returns the index path."""
+    report_dir = bundle.dir("report")
+    single_dir = os.path.join(report_dir, "single")
+    os.makedirs(single_dir, exist_ok=True)
+    problems = bundle.problems()
+    all_tables = {}
+    for problem in problems:
+        table = aggregate_problem(bundle, problem)
+        all_tables[problem] = table
+        lines = [
+            f"# {problem}",
+            "",
+            "| model | success | KL (iqm±iqrstd) | JS | WS | KL (common) | time ms |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for model, row in sorted(table.items()):
+            lines.append(
+                f"| {model} | {row['success_rate']:.2%} "
+                f"({row['coverage']}/{row['n_total']}) "
+                f"| {_fmt(row.get('kl'))} | {_fmt(row.get('js'))} "
+                f"| {_fmt(row.get('ws'))} | {_fmt(row.get('kl_common'))} "
+                f"| {_fmt(row.get('timing_ms'))} |"
+            )
+        with open(
+            os.path.join(single_dir, f"{problem}.md"), "w", encoding="utf-8"
+        ) as f:
+            f.write("\n".join(lines) + "\n")
+
+    # aggregate across problems per model
+    agg: Dict[str, Dict[str, List[float]]] = defaultdict(
+        lambda: defaultdict(list)
+    )
+    for table in all_tables.values():
+        for model, row in table.items():
+            for metric in ("kl", "js", "ws"):
+                s = row.get(metric)
+                if s and s.get("n"):
+                    agg[model][metric].append(s["iqm"])
+            agg[model]["success"].append(row["success_rate"])
+    index = [
+        f"# Benchmark report — {bundle.name}",
+        "",
+        f"Problems: {', '.join(problems)}",
+        "",
+        "| model | mean success | KL iqm (mean over problems) | JS | WS |",
+        "|---|---|---|---|---|",
+    ]
+    for model, metrics in sorted(agg.items()):
+        def m(name):
+            v = metrics.get(name, [])
+            return f"{np.mean(v):.4f}" if v else "—"
+
+        index.append(
+            f"| {model} | {np.mean(metrics['success']):.2%} "
+            f"| {m('kl')} | {m('js')} | {m('ws')} |"
+        )
+    index.append("")
+    index.append("Per-problem detail: see `single/<problem>.md`.")
+    index_path = os.path.join(report_dir, "index.md")
+    with open(index_path, "w", encoding="utf-8") as f:
+        f.write("\n".join(index) + "\n")
+    with open(
+        os.path.join(report_dir, "aggregate.json"), "w", encoding="utf-8"
+    ) as f:
+        json.dump(
+            {p: {m: _strip(r) for m, r in t.items()} for p, t in all_tables.items()},
+            f,
+            indent=2,
+        )
+    return index_path
+
+
+def _strip(row: Dict) -> Dict:
+    return {
+        k: v for k, v in row.items() if not isinstance(v, set)
+    }

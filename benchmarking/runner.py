@@ -1,0 +1,270 @@
+"""Stage IIII: the benchmark runner.
+
+Capability parity with
+``/root/reference/benchmarking/IIII_run_benchmark/base.py:577-1416``:
+per problem x model — fit once, answer all cpd/inference queries, JSONL
+records ``{run, model, problem, query, result}``; batched inference
+grouping by ``skeleton_id`` (``_iter_inference_batches`` 69-110); streaming
+timing statistics including a P² median estimator (127-229); config
+snapshots with hashes; structured failure records.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import OrderedDict
+from typing import Dict, Iterable, List, Optional
+
+from .bundles import BenchmarkBundle, read_jsonl, write_jsonl
+from .data_gen import load_dataset, load_domain
+from .errors import ErrorSummary, failure_record
+from .models.registry import MODEL_REGISTRY
+from .query_gen import CPDQuery, InferenceQuery
+
+
+class P2Quantile:
+    """Jain & Chlamtac P² streaming quantile estimator.
+
+    Parity: ``IIII_run_benchmark/base.py:127-208``.
+    """
+
+    def __init__(self, p: float = 0.5) -> None:
+        self.p = float(p)
+        self._init: List[float] = []
+        self.n = 0
+
+    def add(self, x: float) -> None:
+        self.n += 1
+        if len(self._init) < 5:
+            self._init.append(float(x))
+            if len(self._init) == 5:
+                self._init.sort()
+                self.q = list(self._init)
+                self.pos = [1, 2, 3, 4, 5]
+                p = self.p
+                self.desired = [1, 1 + 2 * p, 1 + 4 * p, 3 + 2 * p, 5]
+                self.incr = [0, p / 2, p, (1 + p) / 2, 1]
+            return
+        q, pos = self.q, self.pos
+        if x < q[0]:
+            q[0] = x
+            k = 0
+        elif x >= q[4]:
+            q[4] = x
+            k = 3
+        else:
+            k = 0
+            while k < 3 and x >= q[k + 1]:
+                k += 1
+        for i in range(k + 1, 5):
+            pos[i] += 1
+        for i in range(5):
+            self.desired[i] += self.incr[i]
+        for i in (1, 2, 3):
+            d = self.desired[i] - pos[i]
+            if (d >= 1 and pos[i + 1] - pos[i] > 1) or (
+                d <= -1 and pos[i - 1] - pos[i] < -1
+            ):
+                sign = 1 if d >= 1 else -1
+                # parabolic prediction
+                qp = q[i] + sign / (pos[i + 1] - pos[i - 1]) * (
+                    (pos[i] - pos[i - 1] + sign)
+                    * (q[i + 1] - q[i])
+                    / (pos[i + 1] - pos[i])
+                    + (pos[i + 1] - pos[i] - sign)
+                    * (q[i] - q[i - 1])
+                    / (pos[i] - pos[i - 1])
+                )
+                if q[i - 1] < qp < q[i + 1]:
+                    q[i] = qp
+                else:  # linear fallback
+                    q[i] = q[i] + sign * (q[i + sign] - q[i]) / (
+                        pos[i + sign] - pos[i]
+                    )
+                pos[i] += sign
+
+    def value(self) -> Optional[float]:
+        if self.n == 0:
+            return None
+        if len(self._init) < 5 or self.n < 5:
+            s = sorted(self._init)
+            return s[len(s) // 2]
+        return self.q[2]
+
+
+class StreamingStats:
+    """Mean/min/max + P² median (parity: base.py:210-229)."""
+
+    def __init__(self) -> None:
+        self.n = 0
+        self.total = 0.0
+        self.min = float("inf")
+        self.max = float("-inf")
+        self._median = P2Quantile(0.5)
+
+    def add(self, x: float) -> None:
+        self.n += 1
+        self.total += x
+        self.min = min(self.min, x)
+        self.max = max(self.max, x)
+        self._median.add(x)
+
+    def summary(self) -> Dict:
+        if self.n == 0:
+            return {"n": 0}
+        return {
+            "n": self.n,
+            "mean": self.total / self.n,
+            "min": self.min,
+            "max": self.max,
+            "median_p2": self._median.value(),
+        }
+
+
+def iter_inference_batches(
+    queries: List[InferenceQuery], max_batch: int = 256
+) -> Iterable[List[InferenceQuery]]:
+    """Group by skeleton_id, preserving first-seen order (parity 69-110)."""
+    groups: "OrderedDict[str, List[InferenceQuery]]" = OrderedDict()
+    for q in queries:
+        groups.setdefault(q.skeleton_id, []).append(q)
+    for _, batch in groups.items():
+        for i in range(0, len(batch), max_batch):
+            yield batch[i : i + max_batch]
+
+
+class BenchmarkRunner:
+    def __init__(self, bundle: BenchmarkBundle, run_id: Optional[str] = None):
+        self.bundle = bundle
+        self.run_id = run_id or time.strftime("run_%Y%m%d_%H%M%S")
+
+    def _load_queries(self, problem: str):
+        qdir = self.bundle.dir("queries", problem)
+        inf_path = os.path.join(qdir, "inference_queries.jsonl")
+        cpd_path = os.path.join(qdir, "cpd_queries.jsonl")
+        inf = (
+            [InferenceQuery.from_dict(d) for d in read_jsonl(inf_path)]
+            if os.path.exists(inf_path)
+            else []
+        )
+        cpd = (
+            [CPDQuery(**d) for d in read_jsonl(cpd_path)]
+            if os.path.exists(cpd_path)
+            else []
+        )
+        return cpd, inf
+
+    def run_all(
+        self,
+        model_configs: List,
+        problems: Optional[List[str]] = None,
+        seed: int = 0,
+        max_batch: int = 256,
+    ) -> Dict:
+        problems = problems or self.bundle.problems()
+        errors = ErrorSummary()
+        summary: Dict = {"run_id": self.run_id, "problems": {}}
+        for problem in problems:
+            ddir = self.bundle.dir("datasets", problem)
+            domain = load_domain(os.path.join(ddir, "domain.json"))
+            data = load_dataset(os.path.join(ddir, "data_seed0.csv"))
+            cpd_queries, inf_queries = self._load_queries(problem)
+            psum = {}
+            for cfg in model_configs:
+                backend = cfg.backend
+                if backend not in MODEL_REGISTRY:
+                    raise ValueError(
+                        f"Unknown backend {backend!r}; "
+                        f"available: {sorted(MODEL_REGISTRY)}"
+                    )
+                records: List[Dict] = []
+                stats = StreamingStats()
+                try:
+                    model = MODEL_REGISTRY[backend](
+                        domain,
+                        seed=seed,
+                        config={
+                            "cpd": cfg.cpd.as_dict(),
+                            "inference": cfg.inference.as_dict(),
+                            "learning": cfg.learning.as_dict(),
+                        },
+                    )
+                    fit_ms = model.fit(data)
+                except Exception as exc:
+                    rec = errors.add_exception(
+                        exc, problem=problem, model=cfg.config_id, stage="fit"
+                    )
+                    psum[cfg.config_id] = {"fit_error": rec["signature"]}
+                    continue
+                for q in cpd_queries:
+                    try:
+                        result = model.answer_cpd_query(q)
+                    except Exception as exc:
+                        result = failure_record(exc)
+                        errors.add(result)
+                    if result.get("timing_ms"):
+                        stats.add(result["timing_ms"])
+                    records.append(
+                        {
+                            "run": self.run_id,
+                            "model": cfg.config_id,
+                            "config_hash": cfg.config_hash(),
+                            "problem": problem,
+                            "kind": "cpd",
+                            "query": q.to_dict(),
+                            "result": result,
+                        }
+                    )
+                for batch in iter_inference_batches(inf_queries, max_batch):
+                    try:
+                        results = model.answer_inference_queries(batch)
+                    except Exception as exc:
+                        rec = failure_record(exc)
+                        errors.add(rec)
+                        results = [dict(rec) for _ in batch]
+                    for q, result in zip(batch, results):
+                        if result.get("timing_ms"):
+                            stats.add(result["timing_ms"])
+                        if not result.get("ok"):
+                            errors.add(result)
+                        records.append(
+                            {
+                                "run": self.run_id,
+                                "model": cfg.config_id,
+                                "config_hash": cfg.config_hash(),
+                                "problem": problem,
+                                "kind": "inference",
+                                "query": q.to_dict(),
+                                "result": result,
+                            }
+                        )
+                rdir = self.bundle.dir("results", problem)
+                write_jsonl(
+                    os.path.join(rdir, f"{cfg.config_id}.jsonl"), records
+                )
+                ok = sum(1 for r in records if r["result"].get("ok"))
+                psum[cfg.config_id] = {
+                    "fit_ms": fit_ms,
+                    "queries": len(records),
+                    "ok": ok,
+                    "success_rate": ok / max(1, len(records)),
+                    "timing": stats.summary(),
+                }
+            summary["problems"][problem] = psum
+        summary["errors"] = errors.counts()
+        log_dir = self.bundle.dir("logs")
+        with open(
+            os.path.join(log_dir, f"{self.run_id}_summary.json"),
+            "w",
+            encoding="utf-8",
+        ) as f:
+            json.dump(summary, f, indent=2)
+        with open(
+            os.path.join(log_dir, f"{self.run_id}_errors.md"),
+            "w",
+            encoding="utf-8",
+        ) as f:
+            f.write(errors.to_markdown())
+        return summary

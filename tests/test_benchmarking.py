@@ -1,0 +1,188 @@
+"""Benchmark-suite tests without network access or heavy deps.
+
+Modeled on the reference's dummy-backend pattern
+(``tests/test_benchmark_split_smoke.py:48-100``,
+``tests/test_inference_batching.py``, ``tests/test_partitions.py:8-57``,
+``tests/test_error_utils.py``): a canned DummyModel drives batching/
+grouping/reporting end-to-end in tmp dirs; metric and error-taxonomy math
+tested on synthetic inputs.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from benchmarking.bif import parse_bif, to_bif
+from benchmarking.bundles import BenchmarkBundle, BenchmarkBundleSpec
+from benchmarking.errors import ErrorSummary, error_signature, is_oom_error
+from benchmarking.exact import ancestral_sample, exact_posterior
+from benchmarking.metrics import (
+    iqm,
+    js_divergence,
+    kl_divergence,
+    robust_summary,
+    wasserstein_distance,
+)
+from benchmarking.models.base import BaseBenchmarkModel
+from benchmarking.models.registry import MODEL_REGISTRY, register_model
+from benchmarking.networks import random_bn, sprinkler
+from benchmarking.pipeline import (
+    stage_data,
+    stage_networks,
+    stage_queries,
+    stage_report,
+    stage_run,
+)
+from benchmarking.query_gen import generate_inference_queries
+from benchmarking.report import compute_partitions
+from benchmarking.runner import P2Quantile, iter_inference_batches
+
+
+# ---------------------------------------------------------------------------
+# dummy backend
+# ---------------------------------------------------------------------------
+
+if "dummy" not in MODEL_REGISTRY:
+
+    @register_model("dummy")
+    class DummyModel(BaseBenchmarkModel):
+        """Returns uniform pmfs; fails on a marker target."""
+
+        def fit(self, data):
+            return 1.0
+
+        def answer_cpd_query(self, query):
+            k = int(self.domain["nodes"][query.node]["n_classes"])
+            return {"ok": True, "probs": [1.0 / k] * k, "timing_ms": 0.1}
+
+        def answer_inference_queries(self, queries):
+            out = []
+            for q in queries:
+                k = int(self.domain["nodes"][q.target]["n_classes"])
+                out.append(
+                    {"ok": True, "probs": [1.0 / k] * k, "timing_ms": 0.1,
+                     "batched": len(queries)}
+                )
+            return out
+
+
+def test_exact_posterior_textbook():
+    bn = sprinkler()
+    p = exact_posterior(bn, "rain", {"wet": 1})
+    assert abs(p[1] - 0.7079) < 1e-3
+
+
+def test_bif_roundtrip():
+    bn = random_bn(8, seed=1)
+    bn2 = parse_bif(to_bif(bn))
+    assert bn2.nodes == bn.nodes
+    for n in bn.nodes:
+        np.testing.assert_allclose(bn2.cpts[n], bn.cpts[n], atol=1e-5)
+
+
+def test_ancestral_sample_marginals():
+    bn = sprinkler()
+    s = ancestral_sample(bn, 100000, seed=0)
+    emp = np.mean(s["rain"])
+    ex = exact_posterior(bn, "rain", {})[1]
+    assert abs(emp - ex) < 0.01
+
+
+def test_metrics_basic():
+    p = [0.5, 0.5]
+    assert kl_divergence(p, p) < 1e-9
+    assert js_divergence([1, 0], [0, 1], normalized=True) == pytest.approx(1.0)
+    assert wasserstein_distance([1, 0, 0], [0, 0, 1]) == pytest.approx(2.0)
+    assert iqm([1, 2, 3, 4, 100]) < 10  # robust to the outlier
+    s = robust_summary([1.0, 2.0, 3.0])
+    assert s["n"] == 3
+
+
+def test_error_taxonomy():
+    sig1 = error_signature(ValueError("index 17 out of bounds for axis 0"))
+    sig2 = error_signature(ValueError("index 23 out of bounds for axis 1"))
+    assert sig1 == sig2  # numbers normalized
+    assert is_oom_error(RuntimeError("RESOURCE_EXHAUSTED: out of memory"))
+    summ = ErrorSummary()
+    summ.add_exception(ValueError("boom 1"))
+    summ.add_exception(ValueError("boom 2"))
+    assert summ.total == 2
+    assert len(summ.counts()) == 1
+    assert "boom" in summ.to_markdown()
+
+
+def test_p2_quantile_close_to_true_median():
+    rng = np.random.default_rng(0)
+    xs = rng.normal(5.0, 2.0, 5000)
+    est = P2Quantile(0.5)
+    for x in xs:
+        est.add(float(x))
+    assert abs(est.value() - np.median(xs)) < 0.15
+
+
+def test_query_batching_by_skeleton():
+    bn = random_bn(8, seed=2)
+    queries = generate_inference_queries(bn, n_queries=40, seed=0)
+    batches = list(iter_inference_batches(queries, max_batch=16))
+    seen = set()
+    for batch in batches:
+        skels = {q.skeleton_id for q in batch}
+        assert len(skels) == 1  # one skeleton per batch
+        assert len(batch) <= 16
+        seen |= {q.query_id for q in batch}
+    assert len(seen) == len(queries)
+
+
+def test_partitions():
+    per_model = {
+        "a": {"solved": {"q1", "q2", "q3"}},
+        "b": {"solved": {"q2", "q3", "q4"}},
+    }
+    parts = compute_partitions(per_model)
+    assert parts["common"] == {"q2", "q3"}
+    assert parts["own"]["a"] == {"q1", "q2", "q3"}
+
+
+def test_pipeline_end_to_end_with_dummy(tmp_path):
+    spec = BenchmarkBundleSpec(
+        mode="both", source="builtin",
+        source_kwargs={"names": ["sprinkler"]},
+        n_queries=12, n_rows=300,
+    )
+    bundle = BenchmarkBundle(str(tmp_path), spec)
+    assert stage_networks(bundle) == ["sprinkler"]
+    stage_queries(bundle)
+    stage_data(bundle)
+    from benchmarking.models.config import ModelBenchmarkConfig
+
+    summary = stage_run(bundle, ["dummy"], seed=0)
+    psum = summary["problems"]["sprinkler"]["dummy"]
+    assert psum["success_rate"] == 1.0
+    assert psum["queries"] == 24  # 12 cpd + 12 inference
+    index = stage_report(bundle)
+    assert os.path.exists(index)
+    content = open(index).read()
+    assert "dummy" in content
+    # dummy's uniform answers should have nonzero KL vs ground truth
+    agg = json.load(open(os.path.join(bundle.dir("report"), "aggregate.json")))
+    assert agg["sprinkler"]["dummy"]["kl"]["iqm"] > 0.01
+
+
+def test_vbn_tpu_backend_smoke(tmp_path):
+    spec = BenchmarkBundleSpec(
+        source="builtin", source_kwargs={"names": ["sprinkler"]},
+        n_queries=8, n_rows=1500,
+    )
+    bundle = BenchmarkBundle(str(tmp_path), spec)
+    stage_networks(bundle)
+    stage_queries(bundle)
+    stage_data(bundle)
+    summary = stage_run(bundle, ["vbn_ct_lw"], seed=0)
+    psum = summary["problems"]["sprinkler"]["vbn_ct_lw"]
+    assert psum["success_rate"] == 1.0
+    stage_report(bundle)
+    agg = json.load(open(os.path.join(bundle.dir("report"), "aggregate.json")))
+    # learned CPTs + LW should be close to exact ground truth
+    assert agg["sprinkler"]["vbn_ct_lw"]["kl"]["iqm"] < 0.05

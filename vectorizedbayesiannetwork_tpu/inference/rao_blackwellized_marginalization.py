@@ -125,9 +125,14 @@ class RaoBlackwellizedMarginalization(CompiledMethod):
                     pflat = target_parents_flat(plan, packed, t)
                     probs_cond = target_cpd.categorical_probs(
                         params_tuple[t], pflat
-                    )  # [B*S_part, C] (scalar target)
+                    )  # [B*S_part, C] (scalar target; [1, C] for roots)
                     c = probs_cond.shape[-1]
-                    probs_cond = probs_cond.reshape(bb, s_part, c)
+                    probs_cond = jnp.broadcast_to(
+                        probs_cond.reshape(-1, c)[None]
+                        if probs_cond.shape[0] == 1
+                        else probs_cond.reshape(bb, s_part, c),
+                        (bb, s_part, c),
+                    )
                     marginal = jnp.sum(weights[..., None] * probs_cond, axis=1)
                     if hasattr(target_cpd, "support_values"):
                         support = target_cpd.support_values(params_tuple[t])[0]
@@ -155,11 +160,18 @@ class RaoBlackwellizedMarginalization(CompiledMethod):
                 loc, scale = target_cpd.conditional_params(
                     params_tuple[t], pflat
                 )
-                loc = loc.reshape(bb, s_part)
+                loc = jnp.broadcast_to(loc.reshape(-1)[None]
+                                       if loc.size == 1
+                                       else loc.reshape(bb, s_part),
+                                       (bb, s_part))
+                scale = jnp.broadcast_to(scale.reshape(-1)[None]
+                                         if scale.size == 1
+                                         else scale.reshape(bb, s_part),
+                                         (bb, s_part))
                 scale = jnp.maximum(
                     jnp.abs(
                         jnp.nan_to_num(
-                            scale.reshape(bb, s_part),
+                            scale,
                             nan=self.min_scale,
                             posinf=self.min_scale,
                             neginf=self.min_scale,
