@@ -133,9 +133,41 @@ def random_bn(
     return bn
 
 
+def asia() -> DiscreteBN:
+    """Lauritzen & Spiegelhalter's classic 8-node chest-clinic network."""
+    bn = DiscreteBN(name="asia")
+    spec = {
+        "asia": (["yes", "no"], [], np.array([0.01, 0.99])),
+        "smoke": (["yes", "no"], [], np.array([0.5, 0.5])),
+        "tub": (["yes", "no"], ["asia"],
+                np.array([[0.05, 0.95], [0.01, 0.99]])),
+        "lung": (["yes", "no"], ["smoke"],
+                 np.array([[0.1, 0.9], [0.01, 0.99]])),
+        "bronc": (["yes", "no"], ["smoke"],
+                  np.array([[0.6, 0.4], [0.3, 0.7]])),
+        "either": (["yes", "no"], ["lung", "tub"],
+                   np.array([[[1.0, 0.0], [1.0, 0.0]],
+                             [[1.0, 0.0], [0.0, 1.0]]])),
+        "xray": (["yes", "no"], ["either"],
+                 np.array([[0.98, 0.02], [0.05, 0.95]])),
+        "dysp": (["yes", "no"], ["bronc", "either"],
+                 np.array([[[0.9, 0.1], [0.8, 0.2]],
+                           [[0.7, 0.3], [0.1, 0.9]]])),
+    }
+    for node, (states, parents, cpt) in spec.items():
+        bn.nodes.append(node)
+        bn.states[node] = states
+        bn.parents[node] = parents
+        bn.cpts[node] = cpt
+    bn.nodes = bn.topological_order()
+    bn.validate()
+    return bn
+
+
 BUILTIN_NETWORKS: Dict[str, Callable[[], DiscreteBN]] = {
     "sprinkler": sprinkler,
     "cancer": cancer,
+    "asia": asia,
 }
 
 

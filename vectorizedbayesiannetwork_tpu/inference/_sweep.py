@@ -27,6 +27,19 @@ from ..core.plan import InferencePlan
 from ..core.rng import fold
 from ..parallel.mesh import constrain_bs, constrain_bsd
 
+_SCAN_THRESHOLD = 128  # nodes; above this, compile time dominates serving
+
+
+def _use_discrete_scan(n_nodes: int) -> bool:
+    import os
+
+    mode = os.environ.get("VBN_DISCRETE_SCAN", "auto").lower()
+    if mode == "always":
+        return True
+    if mode == "never":
+        return False
+    return n_nodes >= _SCAN_THRESHOLD
+
 
 def sweep_trace(
     plan: InferencePlan,
@@ -47,6 +60,25 @@ def sweep_trace(
     skips the target and its descendants; skipped nodes are never parents
     of swept nodes by construction).
     """
+    if not skip and _use_discrete_scan(plan.n_nodes):
+        # All-categorical networks can take the scan-form sweep: one
+        # lax.scan over nodes with stacked CPTs -> O(1) compile time in
+        # node count (see _discrete_sweep.py). Measured on TPU v5e: ~70x
+        # faster compilation, ~1.7x slower steady-state per query batch —
+        # so it engages for large networks (where each fresh query
+        # skeleton would otherwise pay a long compile) and can be forced
+        # either way with VBN_DISCRETE_SCAN=always|never.
+        from ._discrete_sweep import (
+            discrete_sweep_supported,
+            discrete_sweep_trace,
+        )
+
+        if discrete_sweep_supported(plan, cpds):
+            return discrete_sweep_trace(
+                plan, cpds, params_tuple, key, fixed, n_samples,
+                weighted=weighted,
+            )
+
     b = fixed.shape[0]
     s = n_samples
     vals: List[Optional[jax.Array]] = [None] * plan.n_nodes

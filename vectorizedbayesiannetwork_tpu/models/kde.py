@@ -127,44 +127,40 @@ class KDECPD(BaseCPD):
             jnp.concatenate([old_x, x], axis=0),
         )
 
-    # -- kernels -------------------------------------------------------------
-    def _kernel_log_prob(self, diff: jax.Array, bandwidth: float) -> jax.Array:
-        scale = max(float(bandwidth), 1e-3) + self.min_scale
-        return -0.5 * (
-            (diff / scale) ** 2 + math.log(2 * math.pi) + 2 * math.log(scale)
-        )
+    # -- kernels (MXU matmul form, chunked over M; ops/kde_kernel.py) --------
+    def _y_scale(self) -> float:
+        return max(float(self.bandwidth), 1e-3) + self.min_scale
 
-    def _parent_log_kernel(self, params, parents: jax.Array) -> jax.Array:
-        """[M, N] parent-space kernel log weights (masked)."""
-        diff = parents[:, None, :] - params["data_p"][None, :, :]
-        log_kp = jnp.sum(
-            self._kernel_log_prob(diff, self.parent_bandwidth), axis=-1
-        )
-        return log_kp + jnp.log(jnp.maximum(params["valid"], 1e-38))[None, :]
+    def _p_scale(self) -> float:
+        return max(float(self.parent_bandwidth), 1e-3) + self.min_scale
 
     def _log_prob_flat(self, params, x, parents):
-        log_mask = jnp.log(jnp.maximum(params["valid"], 1e-38))[None, :]
-        diff_y = x[:, None, :] - params["data_x"][None, :, :]
-        log_ky = jnp.sum(self._kernel_log_prob(diff_y, self.bandwidth), axis=-1)
-        if self.input_dim == 0:
-            n_eff = jnp.maximum(jnp.sum(params["valid"]), 1.0)
-            return jax.scipy.special.logsumexp(
-                log_ky + log_mask, axis=1
-            ) - jnp.log(n_eff)
-        log_kp = self._parent_log_kernel(params, parents)
-        return jax.scipy.special.logsumexp(
-            log_kp + log_ky, axis=1
-        ) - jax.scipy.special.logsumexp(log_kp, axis=1)
+        from ..ops.kde_kernel import kde_log_prob
+
+        log_mask = jnp.log(jnp.maximum(params["valid"], 1e-38))
+        return kde_log_prob(
+            x,
+            parents if self.input_dim else None,
+            params["data_x"],
+            params["data_p"],
+            log_mask,
+            self._y_scale(),
+            self._p_scale(),
+        )
 
     def _sample_flat(self, params, key, parents, m):
+        from ..ops.kde_kernel import kde_sample_indices
+
         k_pick, k_noise = jax.random.split(key)
         log_mask = jnp.log(jnp.maximum(params["valid"], 1e-38))
-        if self.input_dim == 0:
-            scores = jnp.broadcast_to(log_mask[None, :], (m, self.max_points))
-        else:
-            scores = self._parent_log_kernel(params, parents)
-        g = jax.random.gumbel(k_pick, scores.shape, dtype=scores.dtype)
-        idx = jnp.argmax(scores + g, axis=-1)  # [M]
+        idx = kde_sample_indices(
+            k_pick,
+            parents if self.input_dim else None,
+            params["data_p"],
+            log_mask,
+            self._p_scale(),
+            m,
+        )
         selected = params["data_x"][idx]
         bw = max(self.bandwidth, 1e-3)
         noise = jax.random.normal(k_noise, selected.shape, selected.dtype)
