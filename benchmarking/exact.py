@@ -68,12 +68,19 @@ def bn_factors(bn: DiscreteBN) -> List[Factor]:
     return factors
 
 
+_MAX_FACTOR_SIZE = 50_000_000  # ~400MB float64: refuse instead of hanging
+
+
 def exact_posterior(
     bn: DiscreteBN,
     target: str,
     evidence: Optional[Dict[str, int]] = None,
 ) -> np.ndarray:
-    """p(target | evidence) via variable elimination. evidence: node->state idx."""
+    """p(target | evidence) via variable elimination. evidence: node->state idx.
+
+    Raises instead of hanging when the induced factor size explodes (high
+    treewidth) — callers (query-gen ground truth) record the failure.
+    """
     evidence = evidence or {}
     factors = []
     for f in bn_factors(bn):
@@ -91,6 +98,12 @@ def exact_posterior(
         prod = related[0]
         for f in related[1:]:
             prod = prod.multiply(f)
+            if prod.table.size > _MAX_FACTOR_SIZE:
+                raise MemoryError(
+                    f"Variable elimination factor over {len(prod.variables)} "
+                    f"variables exceeds {_MAX_FACTOR_SIZE} entries "
+                    "(high treewidth); exact ground truth unavailable."
+                )
         factors = rest + [prod.marginalize(var)]
     result = factors[0]
     for f in factors[1:]:

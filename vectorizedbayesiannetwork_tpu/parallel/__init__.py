@@ -9,3 +9,8 @@ from .mesh import (
     make_mesh,
     mesh_signature,
 )
+from .distributed import (
+    initialize_distributed,
+    measure_queries_per_s,
+    scaling_efficiency,
+)
