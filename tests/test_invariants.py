@@ -110,3 +110,33 @@ def test_public_outputs_have_no_grad(vbn):
 
     g = jax.grad(f)(1.0)
     assert np.isfinite(float(g))
+
+
+def test_kde_pallas_interpret_matches_matmul():
+    # The fused Pallas kernel in interpreter mode == the matmul path.
+    from vectorizedbayesiannetwork_tpu.ops.kde_kernel import (
+        _pairwise_kernel_logits,
+    )
+    from vectorizedbayesiannetwork_tpu.ops.kde_pallas import (
+        kde_log_prob_fused,
+    )
+
+    g = np.random.default_rng(0)
+    n, m = 256, 300
+    data_p = jnp.asarray(g.normal(size=(n, 2)).astype(np.float32))
+    data_x = jnp.asarray(g.normal(size=(n, 1)).astype(np.float32))
+    log_mask = jnp.zeros((n,), jnp.float32)
+    qp = jnp.asarray(g.normal(size=(m, 2)).astype(np.float32))
+    qx = jnp.asarray(g.normal(size=(m, 1)).astype(np.float32))
+    ys, ps = 0.35, 0.45
+    fused = kde_log_prob_fused(
+        qx, qp, data_x, data_p, log_mask, ys, ps, interpret=True
+    )
+    ky = _pairwise_kernel_logits(qx, data_x, ys)
+    kp = _pairwise_kernel_logits(qp, data_p, ps)
+    import jax as _jax
+
+    ref = _jax.scipy.special.logsumexp(
+        kp + ky, axis=1
+    ) - _jax.scipy.special.logsumexp(kp, axis=1)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-4)

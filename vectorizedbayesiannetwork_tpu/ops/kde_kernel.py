@@ -80,6 +80,15 @@ def kde_log_prob(
 
         return _chunked(tile, m, x) - jnp.log(n_eff)
 
+    from .kde_pallas import kde_log_prob_fused, pallas_available
+
+    if pallas_available():
+        # Fused Pallas path on real TPUs: no HBM round trip for the
+        # [chunk, N] logit tiles.
+        return kde_log_prob_fused(
+            x, parents, data_x, data_p, log_mask, y_scale, p_scale
+        )
+
     def tile(xt, pt):
         log_ky = _pairwise_kernel_logits(xt, data_x, y_scale)
         log_kp = (
