@@ -209,6 +209,9 @@ def render_report(bundle: BenchmarkBundle) -> str:
         )
     index.append("")
     index.append("Per-problem detail: see `single/<problem>.md`.")
+    plot_path = render_plots(bundle)
+    if plot_path:
+        index.append(f"\n![metrics vs size](metrics_vs_size.png)")
     index_path = os.path.join(report_dir, "index.md")
     with open(index_path, "w", encoding="utf-8") as f:
         f.write("\n".join(index) + "\n")
@@ -227,3 +230,65 @@ def _strip(row: Dict) -> Dict:
     return {
         k: v for k, v in row.items() if not isinstance(v, set)
     }
+
+
+def _method_color(name: str):
+    """Deterministic per-method color (parity: 05_report_results.py)."""
+    import hashlib
+
+    h = int(hashlib.sha256(name.encode()).hexdigest()[:6], 16)
+    return (
+        0.15 + 0.7 * ((h >> 16) & 0xFF) / 255.0,
+        0.15 + 0.7 * ((h >> 8) & 0xFF) / 255.0,
+        0.15 + 0.7 * (h & 0xFF) / 255.0,
+    )
+
+
+def render_plots(bundle: BenchmarkBundle) -> Optional[str]:
+    """Metric-vs-network-size scatter/lines per model (env-gated plots).
+
+    Parity with the reference's aggregate plots vs n_nodes/n_edges with
+    deterministic method colors (``05_report_results.py``).
+    """
+    from vectorizedbayesiannetwork_tpu.display.plots import finish, get_pyplot
+
+    plt = get_pyplot()
+    if plt is None:
+        return None
+    from .bif import load_bif
+
+    problems = bundle.problems()
+    sizes = {}
+    for p in problems:
+        bn = load_bif(os.path.join(bundle.dir("networks"), f"{p}.bif"))
+        sizes[p] = len(bn.nodes)
+    metrics = ["kl", "js", "ws"]
+    series: Dict[str, Dict[str, List]] = defaultdict(
+        lambda: {"x": [], **{m: [] for m in metrics}}
+    )
+    for problem in problems:
+        table = aggregate_problem(bundle, problem)
+        for model, row in table.items():
+            series[model]["x"].append(sizes[problem])
+            for m in metrics:
+                s = row.get(m) or {}
+                series[model][m].append(s.get("iqm", float("nan")))
+    fig, axes = plt.subplots(1, 3, figsize=(12, 3.2))
+    for ax, m in zip(axes, metrics):
+        for model, data in sorted(series.items()):
+            order = np.argsort(data["x"])
+            ax.plot(
+                np.asarray(data["x"])[order],
+                np.asarray(data[m])[order],
+                marker="o",
+                label=model,
+                color=_method_color(model),
+            )
+        ax.set_xlabel("n_nodes")
+        ax.set_ylabel(f"{m} (iqm)")
+        ax.set_title(m)
+    axes[0].legend(fontsize=7)
+    fig.tight_layout()
+    path = os.path.join(bundle.dir("report"), "metrics_vs_size.png")
+    finish(plt, fig, path, False)
+    return path
