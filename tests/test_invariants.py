@@ -139,4 +139,6 @@ def test_kde_pallas_interpret_matches_matmul():
     ref = _jax.scipy.special.logsumexp(
         kp + ky, axis=1
     ) - _jax.scipy.special.logsumexp(kp, axis=1)
-    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-4)
+    # bf16x3 cross terms: ~5e-4 absolute in log space (vs ~0.1 for the
+    # single bf16 pass the decomposition replaces)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-3)

@@ -113,9 +113,8 @@ class CPDHandle:
         if hasattr(cpd, "categorical_probs"):
             probs = cpd.categorical_probs(self.params, flat)
             out = {"type": "categorical_probs", "probs": probs}
-            support = getattr(cpd, "class_support", None)
-            if support is not None:
-                out["support"] = jnp.asarray(support)
+            if hasattr(cpd, "support_values"):
+                out["support"] = cpd.support_values(self.params)
             return out
         if hasattr(cpd, "conditional_params"):
             loc, scale = cpd.conditional_params(self.params, flat)

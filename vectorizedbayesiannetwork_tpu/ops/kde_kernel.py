@@ -27,10 +27,15 @@ _CHUNK = 4096  # query rows per streamed tile; [_CHUNK, N] tiles stay ~64MB
 def _pairwise_kernel_logits(
     q: jax.Array, data: jax.Array, scale: float
 ) -> jax.Array:
-    """sum_d log N(q_m - t_n; 0, scale) -> [M, N] via one GEMM."""
+    """sum_d log N(q_m - t_n; 0, scale) -> [M, N] via one GEMM.
+
+    precision=HIGHEST is required: TPU XLA defaults fp32 matmuls to a
+    single bf16 MXU pass, whose ~0.4% relative error on the cross term
+    becomes ~0.1 absolute error in the exponentiated kernel logits.
+    """
     d = q.shape[-1]
     inv2s2 = 1.0 / (2.0 * scale * scale)
-    cross = q @ data.T  # MXU
+    cross = jnp.dot(q, data.T, precision=jax.lax.Precision.HIGHEST)
     q2 = jnp.sum(q * q, axis=-1, keepdims=True)
     t2 = jnp.sum(data * data, axis=-1)[None, :]
     sq = q2 - 2.0 * cross + t2

@@ -25,6 +25,29 @@ from jax.experimental.pallas import tpu as pltpu
 TM = 256  # query rows per program instance
 
 
+def _precise_cross(a: jax.Array, b: jax.Array) -> jax.Array:
+    """fp32-accurate a @ b.T via explicit bf16x3 decomposition.
+
+    The MXU multiplies bf16; this Mosaic version drops the
+    ``precision=HIGHEST`` request on ``dot_general``, and single-pass bf16
+    error (~0.4% relative) is fatal for exponentiated distances. Splitting
+    each operand into bf16 high/low parts and summing three passes
+    reproduces fp32 accuracy explicitly.
+    """
+
+    def dot(x, y):
+        return jax.lax.dot_general(
+            x, y, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    a_lo = a - a_hi
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    b_lo = b - b_hi
+    return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+
+
 def _logsumexp_rows(a: jax.Array) -> jax.Array:
     """Row logsumexp [TM, N] -> [TM, 1] (guarded against -inf rows)."""
     mx = jnp.max(a, axis=1, keepdims=True)
@@ -44,13 +67,7 @@ def _kde_cond_kernel(
     dp = datap_ref[:]  # [N, Dp]
     log_mask = mask_ref[:]  # [1, N]
 
-    cross_y = jax.lax.dot_general(
-        q, dx, (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,  # fp32 MXU passes: the
-        # kernel exponentiates distances of magnitude ~1e2, so bf16
-        # single-pass matmul error (~0.5 absolute) is unacceptable
-        preferred_element_type=jnp.float32,
-    )  # [TM, N]
+    cross_y = _precise_cross(q, dx)  # [TM, N]
     sq_y = (
         jnp.sum(q * q, axis=1, keepdims=True)
         - 2.0 * cross_y
@@ -58,11 +75,7 @@ def _kde_cond_kernel(
     )
     ky = -sq_y * inv2y + const_y
 
-    cross_p = jax.lax.dot_general(
-        p, dp, (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
+    cross_p = _precise_cross(p, dp)
     sq_p = (
         jnp.sum(p * p, axis=1, keepdims=True)
         - 2.0 * cross_p
@@ -149,16 +162,15 @@ def kde_log_prob_fused(
 
 
 def pallas_available() -> bool:
-    """Opt-in (VBN_KDE_PALLAS=1) on non-CPU backends.
+    """Default-on for non-CPU backends; VBN_KDE_PALLAS=0 opts out.
 
-    The fused kernel is bit-validated against the matmul path in interpret
-    mode and on-chip; it stays opt-in until the deployment's compile
-    latency (remote-compile environments can be slow for Mosaic programs)
-    is known to be worth the HBM-traffic savings. The default matmul path
-    already runs the cross term on the MXU.
+    Measured on TPU v5e: matches the exact difference-form log density to
+    5.5e-4 (bf16x3 cross terms) and runs 512k x 2k in 23 ms vs 2075 ms for
+    the HBM-round-tripping matmul+chunk path (~90x). CPU tests exercise the
+    same kernel via interpret mode.
     """
     import os
 
-    if os.environ.get("VBN_KDE_PALLAS", "0") != "1":
+    if os.environ.get("VBN_KDE_PALLAS", "1") != "1":
         return False
     return jax.default_backend() not in ("cpu",)
