@@ -372,14 +372,15 @@ class CategoricalEmbeddedSoftmaxCPD(BaseCPD):
         g = jax.random.gumbel(key, logits.shape, dtype=logits.dtype)
         idx = jnp.argmax(logits + g, axis=-1)  # [M, Dout]
         cv = params["class_values"]
-        return jnp.take_along_axis(
-            jnp.broadcast_to(cv[None], logits.shape), idx[..., None], axis=-1
-        )[..., 0]
+        # one-hot contraction instead of a TPU gather (small C)
+        sel = jax.nn.one_hot(idx, cv.shape[-1], dtype=cv.dtype)
+        return jnp.einsum("mdc,dc->md", sel, cv)
 
     def _log_prob_flat(self, params, x, parents):
         m = x.shape[0]
         logits = self._logits_flat(params, parents, m)
         log_probs = jax.nn.log_softmax(logits, axis=-1)
         tidx = self._targets_to_indices(params, x)
-        picked = jnp.take_along_axis(log_probs, tidx[..., None], axis=-1)[..., 0]
+        sel = jax.nn.one_hot(tidx, log_probs.shape[-1], dtype=log_probs.dtype)
+        picked = jnp.sum(sel * log_probs, axis=-1)
         return jnp.sum(picked, axis=-1)

@@ -311,13 +311,13 @@ class CategoricalTableCPD(BaseCPD):
         scores = jnp.where(mask, lp + g, -jnp.inf)
         idx = jnp.argmax(scores, axis=-1)  # [M, Dout]
         cv = params["class_values"]  # [Dout, C]
-        return jnp.take_along_axis(
-            jnp.broadcast_to(cv[None], lp.shape), idx[..., None], axis=-1
-        )[..., 0]
+        sel = jax.nn.one_hot(idx, cv.shape[-1], dtype=cv.dtype)
+        return jnp.einsum("mdc,dc->md", sel, cv)
 
     def _log_prob_flat(self, params, x, parents):
         m = x.shape[0]
         lp = self._log_probs(params, parents, m)
         tidx = self._targets_to_index(params, x)  # [M, Dout]
-        picked = jnp.take_along_axis(lp, tidx[..., None], axis=-1)[..., 0]
+        sel = jax.nn.one_hot(tidx, lp.shape[-1], dtype=lp.dtype)
+        picked = jnp.sum(sel * lp, axis=-1)
         return jnp.sum(picked, axis=-1)
