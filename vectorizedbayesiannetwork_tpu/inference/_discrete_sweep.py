@@ -141,6 +141,16 @@ def discrete_sweep_trace(
     ev_mask = tables["evidence_mask"]
     fx_mask = tables["fixed_mask"]
 
+    # Per-node table lookup strategy: when every node's parent-state count
+    # is small, slice the node's table block and contract with a one-hot of
+    # the mixed-radix parent index (MXU matmul) instead of a row gather —
+    # TPU gathers dominated the scan's steady-state cost.
+    pstates_max = max(int(cpd._parent_states) for cpd in cpds)
+    use_onehot = pstates_max <= 512
+    if use_onehot:
+        pad_rows = jnp.full((pstates_max, cmax), -1e30, log_cpt.dtype)
+        log_cpt = jnp.concatenate([log_cpt, pad_rows], axis=0)
+
     def step(carry, inp):
         states, logw = carry
         i, skey = inp
@@ -148,8 +158,17 @@ def discrete_sweep_trace(
         strd = jax.lax.dynamic_index_in_dim(strides, i, 0, False)
         pvals = jnp.take(states, pids, axis=-1)  # [B, S, Pmax]
         pidx = jnp.sum(pvals * strd[None, None, :], axis=-1)  # [B, S]
-        row = row_offset[i] + pidx
-        logits = log_cpt[row]  # [B, S, Cmax] gather
+        if use_onehot:
+            table_i = jax.lax.dynamic_slice(
+                log_cpt, (row_offset[i], 0), (pstates_max, cmax)
+            )  # [Pstates, Cmax]
+            sel = jax.nn.one_hot(pidx, pstates_max, dtype=log_cpt.dtype)
+            logits = jnp.einsum(
+                "bsp,pc->bsc", sel, table_i,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            logits = log_cpt[row_offset[i] + pidx]  # [B, S, Cmax] gather
         g = jax.random.gumbel(skey, (b, s, cmax), dtype=jnp.float32)
         sampled = jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
         fixed_i = fixed_idx[:, i][:, None]  # [B, 1]
@@ -159,9 +178,8 @@ def discrete_sweep_trace(
             states, value, i, axis=-1
         )
         if weighted:
-            lp_val = jnp.take_along_axis(
-                logits, value[..., None], axis=-1
-            )[..., 0]
+            vsel = jax.nn.one_hot(value, cmax, dtype=logits.dtype)
+            lp_val = jnp.sum(vsel * logits, axis=-1)
             logw = constrain_bs(logw + jnp.where(ev_mask[i], lp_val, 0.0))
         return (states, logw), None
 

@@ -27,7 +27,9 @@ from ..core.plan import InferencePlan
 from ..core.rng import fold
 from ..parallel.mesh import constrain_bs, constrain_bsd
 
-_SCAN_THRESHOLD = 128  # nodes; above this, compile time dominates serving
+_SCAN_THRESHOLD = 64  # nodes; with one-hot table contraction the scan
+# matches/beats the unrolled sweep in steady state at >=~150 nodes and
+# compiles orders of magnitude faster (BENCH_NOTES.md)
 
 
 def _use_discrete_scan(n_nodes: int) -> bool:
