@@ -65,11 +65,10 @@ def sweep_trace(
     if not skip and _use_discrete_scan(plan.n_nodes):
         # All-categorical networks can take the scan-form sweep: one
         # lax.scan over nodes with stacked CPTs -> O(1) compile time in
-        # node count (see _discrete_sweep.py). Measured on TPU v5e: ~70x
-        # faster compilation, ~1.7x slower steady-state per query batch —
-        # so it engages for large networks (where each fresh query
-        # skeleton would otherwise pay a long compile) and can be forced
-        # either way with VBN_DISCRETE_SCAN=always|never.
+        # node count (see _discrete_sweep.py). Measured on TPU v5e at 400
+        # nodes: ~20x faster compilation AND 1.5x faster steady state than
+        # the unrolled sweep (BENCH_NOTES.md). VBN_DISCRETE_SCAN=
+        # always|never overrides the node-count heuristic.
         from ._discrete_sweep import (
             discrete_sweep_supported,
             discrete_sweep_trace,
