@@ -22,7 +22,7 @@ import numpy as np
 
 B = 8
 S = 1 << 20  # 1M particles
-REPS = 5
+REPS = 20
 
 
 def bench_tpu() -> float:
@@ -79,10 +79,12 @@ def bench_reference_cpu() -> float:
     }
     query = {"target": "x2", "evidence": ev}
     vbn.infer_posterior(query)  # warmup
-    t0 = time.perf_counter()
-    vbn.infer_posterior(query)
-    dt = time.perf_counter() - t0
-    return B / dt
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        vbn.infer_posterior(query)
+        best = min(best, time.perf_counter() - t0)
+    return B / best
 
 
 def main() -> None:

@@ -116,3 +116,19 @@ def test_do_intervention_sampling(vbn):
         )
     )
     assert abs(float(np.mean(s)) - 1.0) < 0.05
+
+
+def test_hmc_step_size_adaptation(vbn):
+    # dual averaging + find-reasonable-epsilon recovers from a terrible
+    # initial step size (the reference placeholder would just not move)
+    vbn.set_sampling_method("hmc")
+    s = vbn.sample(
+        {"target": "x0", "evidence": {"x2": [[0.5]]}},
+        n_samples=300,
+        burn_in=80,
+        step_size=2.0,  # far too large: fixed-eps chains reject ~always
+        n_chains=8,
+        adapt_step_size=True,
+    )
+    mean = float(np.mean(np.asarray(s)))
+    assert abs(mean - 0.862) < 0.2

@@ -46,6 +46,8 @@ class HMCSampler(CompiledMethod):
         step_size = float(kwargs.get("step_size", 0.05))
         n_leapfrog = max(1, int(kwargs.get("n_leapfrog", 8)))
         burn_in = int(kwargs.get("burn_in", 10))
+        adapt = bool(kwargs.get("adapt_step_size", False))
+        target_accept = float(kwargs.get("target_accept", 0.8))
         chains = max(1, int(kwargs.get("n_chains", self.n_chains)))
         plan, b = self._plan_and_batch(vbn, query)
         fixed = pack_fixed_values(query, plan, b)
@@ -115,52 +117,134 @@ class HMCSampler(CompiledMethod):
                 logp_fn = lambda z: joint_log_prob(params_tuple, z, fixed_rep)
                 grad_fn = jax.grad(lambda z: jnp.sum(logp_fn(z)))
 
-                def hmc_step(z, skey):
+                def hmc_step(z, eps, skey):
+                    """One leapfrog+MH transition; returns (z', mean accept)."""
                     k_mom, k_acc = jax.random.split(skey)
                     logp0 = logp_fn(z)
                     grad = grad_fn(z)
                     momentum = jax.random.normal(k_mom, z.shape, z.dtype)
                     h0 = -logp0 + 0.5 * jnp.sum(momentum**2, axis=1)
-                    p = momentum + 0.5 * step_size * grad
+                    p = momentum + 0.5 * eps * grad
                     q = z
 
                     def leap(carry, _):
                         q, p = carry
-                        q = q + step_size * p
+                        q = q + eps * p
                         g = grad_fn(q)
-                        p = p + step_size * g
+                        p = p + eps * g
                         return (q, p), None
 
                     (q, p), _ = jax.lax.scan(
                         leap, (q, p), None, length=n_leapfrog
                     )
                     g = grad_fn(q)
-                    p = p - 0.5 * step_size * g
+                    p = p - 0.5 * eps * g
                     logp1 = logp_fn(q)
                     h1 = -logp1 + 0.5 * jnp.sum(p**2, axis=1)
                     accept_prob = jnp.minimum(jnp.exp(h0 - h1), 1.0)
                     accept = (
                         jax.random.uniform(k_acc, (m,)) < accept_prob
                     )
-                    return jnp.where(accept[:, None], q, z)
+                    z_new = jnp.where(accept[:, None], q, z)
+                    return z_new, jnp.mean(accept_prob)
 
-                def step(z, skey):
-                    z = hmc_step(z, skey)
-                    j = latent.index(t) if t in latent else None
+                def _accept_at(z, eps, skey):
+                    """Mean accept prob of one single-leapfrog proposal."""
+                    k_mom, _ = jax.random.split(skey)
+                    logp0 = logp_fn(z)
+                    momentum = jax.random.normal(k_mom, z.shape, z.dtype)
+                    h0 = -logp0 + 0.5 * jnp.sum(momentum**2, axis=1)
+                    p = momentum + 0.5 * eps * grad_fn(z)
+                    q = z + eps * p
+                    p = p + 0.5 * eps * grad_fn(q)
+                    h1 = -logp_fn(q) + 0.5 * jnp.sum(p**2, axis=1)
+                    return jnp.mean(jnp.minimum(jnp.exp(h0 - h1), 1.0))
+
+                def find_reasonable_eps(z, skey):
+                    """Hoffman-Gelman doubling/halving init for adaptation."""
+                    acc0 = _accept_at(z, jnp.float32(step_size), skey)
+                    direction = jnp.where(acc0 > 0.5, 1.0, -1.0)
+
+                    def cond(carry):
+                        eps, acc, it = carry
+                        keep = jnp.where(
+                            direction > 0, acc > 0.5, acc < 0.5
+                        )
+                        return jnp.logical_and(keep, it < 24)
+
+                    def body(carry):
+                        eps, _, it = carry
+                        eps = eps * jnp.exp2(direction)
+                        return (eps, _accept_at(z, eps, skey), it + 1)
+
+                    eps, _, _ = jax.lax.while_loop(
+                        cond, body, (jnp.float32(step_size), acc0, 0)
+                    )
+                    return eps
+
+                # Dual-averaging step-size adaptation during burn-in
+                # (Hoffman & Gelman 2014 schedule with the
+                # find-reasonable-epsilon anchor; replaces the reference
+                # placeholder's fixed step size).
+                eps0 = (
+                    find_reasonable_eps(z0, fold(key, 2))
+                    if adapt
+                    else jnp.float32(step_size)
+                )
+                mu = jnp.log(10.0 * eps0)
+                gamma, t0_da, kappa = 0.05, 10.0, 0.75
+
+                def step(carry, inp):
+                    z, eps, h_bar, log_eps_bar, t = carry
+                    skey = inp
+                    z, acc = hmc_step(z, eps, skey)
+                    if adapt:
+                        in_warmup = t < burn_in
+                        tt = t.astype(jnp.float32) + 1.0
+                        h_new = (
+                            (1.0 - 1.0 / (tt + t0_da)) * h_bar
+                            + (target_accept - acc) / (tt + t0_da)
+                        )
+                        log_eps = mu - jnp.sqrt(tt) / gamma * h_new
+                        eta = tt ** (-kappa)
+                        leb_new = eta * log_eps + (1.0 - eta) * log_eps_bar
+                        h_bar = jnp.where(in_warmup, h_new, h_bar)
+                        log_eps_bar = jnp.where(
+                            in_warmup, leb_new, log_eps_bar
+                        )
+                        eps = jnp.where(
+                            in_warmup, jnp.exp(log_eps), jnp.exp(log_eps_bar)
+                        )
+                    return (z, eps, h_bar, log_eps_bar, t + 1), None
+
+                def full_step(carry, skey):
+                    (z, eps, h_bar, leb, t) = carry
+                    (z, eps, h_bar, leb, t), _ = step(
+                        (z, eps, h_bar, leb, t), skey
+                    )
+                    ti = plan.target_idx
+                    j = latent.index(ti) if ti in latent else None
                     if j is None:
                         tgt = fixed_rep[
                             :,
-                            plan.node_offsets[t] : plan.node_offsets[t]
-                            + plan.node_dims[t],
+                            plan.node_offsets[ti] : plan.node_offsets[ti]
+                            + plan.node_dims[ti],
                         ]
                     else:
                         tgt = z[
                             :, lat_offsets[j] : lat_offsets[j] + lat_dims[j]
                         ]
-                    return z, tgt
+                    return (z, eps, h_bar, leb, t), tgt
 
                 step_keys = jax.random.split(fold(key, 1), total_steps)
-                _, targets = jax.lax.scan(step, z0, step_keys)
+                carry0 = (
+                    z0,
+                    eps0,
+                    jnp.float32(0.0),
+                    jnp.log(eps0),
+                    jnp.int32(0),
+                )
+                _, targets = jax.lax.scan(full_step, carry0, step_keys)
                 # [total_steps, M, Dt] -> keep post-burn-in
                 kept = targets[burn_in:]  # [draws, M, Dt]
                 kept = jnp.moveaxis(kept, 0, 1).reshape(
