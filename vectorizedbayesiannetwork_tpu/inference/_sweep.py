@@ -79,6 +79,17 @@ def sweep_trace(
                 plan, cpds, params_tuple, key, fixed, n_samples,
                 weighted=weighted,
             )
+        # ... and the linear-Gaussian analogue (bnlearn's "gaussian" class).
+        from ._gaussian_sweep import (
+            gaussian_sweep_supported,
+            gaussian_sweep_trace,
+        )
+
+        if gaussian_sweep_supported(plan, cpds):
+            return gaussian_sweep_trace(
+                plan, cpds, params_tuple, key, fixed, n_samples,
+                weighted=weighted,
+            )
 
     b = fixed.shape[0]
     s = n_samples
