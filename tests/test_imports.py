@@ -34,7 +34,7 @@ def test_registries_complete():
         "gaussian_exact", "categorical_exact",
         "rao_blackwellized_marginalization",
     }
-    assert set(vt.SAMPLING_REGISTRY) == {"ancestral", "gibbs", "hmc"}
+    assert set(vt.SAMPLING_REGISTRY) == {"ancestral", "gibbs", "hmc", "nuts"}
     assert set(vt.UPDATE_REGISTRY) == {
         "streaming_stats", "online_sgd", "ema", "replay_buffer",
     }

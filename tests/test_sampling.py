@@ -31,6 +31,8 @@ def test_every_sampler_contract(vbn, name):
         kwargs = {"burn_in": 5, "n_steps": 1}
     if name == "hmc":
         kwargs = {"burn_in": 5}
+    if name == "nuts":
+        kwargs = {"burn_in": 5, "max_tree_depth": 4}
     s = vbn.sample(
         {"target": "x2", "evidence": {"x0": [[0.5]]}}, n_samples=32, **kwargs
     )
@@ -116,6 +118,51 @@ def test_do_intervention_sampling(vbn):
         )
     )
     assert abs(float(np.mean(s)) - 1.0) < 0.05
+
+
+def test_nuts_posterior_mean(vbn):
+    # same analytic posterior as the HMC test; NUTS picks its own
+    # trajectory lengths so no n_leapfrog is supplied
+    vbn.set_sampling_method("nuts")
+    s = vbn.sample(
+        {"target": "x0", "evidence": {"x2": [[0.5]]}},
+        n_samples=400,
+        burn_in=50,
+        step_size=0.2,
+        n_chains=8,
+    )
+    mean = float(np.mean(np.asarray(s)))
+    assert abs(mean - 0.862) < 0.15
+
+
+def test_nuts_adaptation_from_bad_step_size(vbn):
+    vbn.set_sampling_method("nuts")
+    s = vbn.sample(
+        {"target": "x0", "evidence": {"x2": [[0.5]]}},
+        n_samples=300,
+        burn_in=80,
+        step_size=5.0,
+        n_chains=8,
+        adapt_step_size=True,
+    )
+    mean = float(np.mean(np.asarray(s)))
+    assert abs(mean - 0.862) < 0.2
+
+
+def test_nuts_falls_back_for_categorical():
+    g = np.random.default_rng(0)
+    import pandas as pd
+
+    df = pd.DataFrame({"a": g.integers(0, 2, 300).astype(float)})
+    v = VBN(_single_node_graph(), seed=0)
+    v.set_learning_method(
+        "node_wise",
+        nodes_cpds={"a": {**defaults.cpd("categorical_table"), "n_classes": 2}},
+    )
+    v.fit(df)
+    v.set_sampling_method("nuts")
+    s = np.asarray(v.sample({"target": "a", "evidence": {}}, n_samples=64))
+    assert set(np.unique(s)).issubset({0.0, 1.0})
 
 
 def test_hmc_step_size_adaptation(vbn):

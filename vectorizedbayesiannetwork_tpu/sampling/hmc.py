@@ -6,8 +6,12 @@ all latent nodes, ancestral-init, ancestral fallback for networks with
 categorical CPDs. Improvements over the reference placeholder (SURVEY.md
 §7 "real NUTS"): exact gradients via ``jax.grad`` of the compiled joint
 (the reference re-traces autograd per step), the whole chain is one
-``lax.scan`` program, and ``n_chains`` parallel chains batch along the
-particle axis instead of one sequential chain.
+``lax.scan`` program, ``n_chains`` parallel chains batch along the
+particle axis instead of one sequential chain, and dual-averaging
+step-size adaptation (Hoffman & Gelman 2014) replaces the fixed step
+size. The NUTS variant with dynamic trajectory lengths lives in
+``nuts.py`` and plugs into this file's chain scaffolding via
+``_make_transition``.
 """
 
 from __future__ import annotations
@@ -36,6 +40,48 @@ class HMCSampler(CompiledMethod):
         self.n_chains = max(1, int(n_chains))
         self._ancestral = AncestralSampler(n_samples=self.n_samples)
 
+    # ------------------------------------------------------------------
+    # Transition kernel — overridden by NUTSSampler.
+    # ------------------------------------------------------------------
+
+    def _cache_extras(self, kwargs) -> tuple:
+        return (max(1, int(kwargs.get("n_leapfrog", 8))),)
+
+    def _make_transition(self, logp_fn, grad_fn, m, kwargs):
+        """Return ``(z, eps, skey) -> (z_new, mean_accept_stat)``."""
+        n_leapfrog = max(1, int(kwargs.get("n_leapfrog", 8)))
+
+        def hmc_step(z, eps, skey):
+            """One leapfrog+MH transition; returns (z', mean accept)."""
+            k_mom, k_acc = jax.random.split(skey)
+            logp0 = logp_fn(z)
+            grad = grad_fn(z)
+            momentum = jax.random.normal(k_mom, z.shape, z.dtype)
+            h0 = -logp0 + 0.5 * jnp.sum(momentum**2, axis=1)
+            p = momentum + 0.5 * eps * grad
+            q = z
+
+            def leap(carry, _):
+                q, p = carry
+                q = q + eps * p
+                g = grad_fn(q)
+                p = p + eps * g
+                return (q, p), None
+
+            (q, p), _ = jax.lax.scan(leap, (q, p), None, length=n_leapfrog)
+            g = grad_fn(q)
+            p = p - 0.5 * eps * g
+            logp1 = logp_fn(q)
+            h1 = -logp1 + 0.5 * jnp.sum(p**2, axis=1)
+            accept_prob = jnp.minimum(jnp.exp(h0 - h1), 1.0)
+            accept = jax.random.uniform(k_acc, (m,)) < accept_prob
+            z_new = jnp.where(accept[:, None], q, z)
+            return z_new, jnp.mean(accept_prob)
+
+        return hmc_step
+
+    # ------------------------------------------------------------------
+
     def sample(self, vbn, query: Query, n_samples=None, **kwargs):
         s = int(n_samples or kwargs.get("n_samples", self.n_samples))
         if not all(
@@ -44,7 +90,6 @@ class HMCSampler(CompiledMethod):
             return self._ancestral.sample(vbn, query, n_samples=s)
 
         step_size = float(kwargs.get("step_size", 0.05))
-        n_leapfrog = max(1, int(kwargs.get("n_leapfrog", 8)))
         burn_in = int(kwargs.get("burn_in", 10))
         adapt = bool(kwargs.get("adapt_step_size", False))
         target_accept = float(kwargs.get("target_accept", 0.8))
@@ -116,37 +161,7 @@ class HMCSampler(CompiledMethod):
 
                 logp_fn = lambda z: joint_log_prob(params_tuple, z, fixed_rep)
                 grad_fn = jax.grad(lambda z: jnp.sum(logp_fn(z)))
-
-                def hmc_step(z, eps, skey):
-                    """One leapfrog+MH transition; returns (z', mean accept)."""
-                    k_mom, k_acc = jax.random.split(skey)
-                    logp0 = logp_fn(z)
-                    grad = grad_fn(z)
-                    momentum = jax.random.normal(k_mom, z.shape, z.dtype)
-                    h0 = -logp0 + 0.5 * jnp.sum(momentum**2, axis=1)
-                    p = momentum + 0.5 * eps * grad
-                    q = z
-
-                    def leap(carry, _):
-                        q, p = carry
-                        q = q + eps * p
-                        g = grad_fn(q)
-                        p = p + eps * g
-                        return (q, p), None
-
-                    (q, p), _ = jax.lax.scan(
-                        leap, (q, p), None, length=n_leapfrog
-                    )
-                    g = grad_fn(q)
-                    p = p - 0.5 * eps * g
-                    logp1 = logp_fn(q)
-                    h1 = -logp1 + 0.5 * jnp.sum(p**2, axis=1)
-                    accept_prob = jnp.minimum(jnp.exp(h0 - h1), 1.0)
-                    accept = (
-                        jax.random.uniform(k_acc, (m,)) < accept_prob
-                    )
-                    z_new = jnp.where(accept[:, None], q, z)
-                    return z_new, jnp.mean(accept_prob)
+                transition = self._make_transition(logp_fn, grad_fn, m, kwargs)
 
                 def _accept_at(z, eps, skey):
                     """Mean accept prob of one single-leapfrog proposal."""
@@ -197,7 +212,7 @@ class HMCSampler(CompiledMethod):
                 def step(carry, inp):
                     z, eps, h_bar, log_eps_bar, t = carry
                     skey = inp
-                    z, acc = hmc_step(z, eps, skey)
+                    z, acc = transition(z, eps, skey)
                     if adapt:
                         in_warmup = t < burn_in
                         tt = t.astype(jnp.float32) + 1.0
@@ -257,7 +272,8 @@ class HMCSampler(CompiledMethod):
         fn = self._compiled(
             vbn,
             plan,
-            ("hmc", s, burn_in, chains, step_size, n_leapfrog),
+            (type(self).__name__, s, burn_in, chains, step_size, adapt)
+            + self._cache_extras(kwargs),
             build,
         )
         return fn(self._params_tuple(vbn, plan), vbn.next_key(), fixed)
