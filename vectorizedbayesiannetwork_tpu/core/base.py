@@ -81,6 +81,20 @@ class BaseCPD(ABC):
             self._static_fields(),
         )
 
+    def _eval_params(self, params: Params) -> Params:
+        """Subtree of ``params`` needed by sample/log_prob (not fit/update).
+
+        Level-grouped evaluation (``inference/_sweep.py``) stacks the eval
+        params of same-signature nodes leaf-by-leaf; optimizer state (the
+        ``"opt"`` entry the NN CPDs persist alongside their weights) is
+        dropped both to keep tree structures stackable — ``opt`` is None
+        before the first gradient step — and to avoid feeding unused arrays
+        into the compiled sweep.
+        """
+        if isinstance(params, dict) and "opt" in params:
+            return {k: v for k, v in params.items() if k != "opt"}
+        return params
+
     # -- lifecycle ----------------------------------------------------------
     @abstractmethod
     def init(self, key: jax.Array) -> Params:

@@ -43,6 +43,57 @@ def _use_discrete_scan(n_nodes: int) -> bool:
     return n_nodes >= _SCAN_THRESHOLD
 
 
+def _use_level_grouping() -> bool:
+    import os
+
+    return os.environ.get("VBN_LEVEL_GROUP", "auto").lower() != "never"
+
+
+def _group_sig(cpd) -> tuple:
+    """Nodes are stackable when class, dims, and static config all match."""
+    return (
+        type(cpd),
+        cpd.input_dim,
+        cpd.output_dim,
+        cpd._static_fields(),
+    )
+
+
+def _stack_eval_params(cpds, params_tuple, idxs):
+    """Stack the eval-params pytrees of ``idxs`` leaf-by-leaf, or None.
+
+    Returns None when tree structures or leaf shapes/dtypes differ (e.g.
+    KDE nodes holding different numbers of support points) — the caller
+    then falls back to per-node evaluation.
+    """
+    trees = [cpds[i]._eval_params(params_tuple[i]) for i in idxs]
+    struct0 = jax.tree_util.tree_structure(trees[0])
+    if any(
+        jax.tree_util.tree_structure(t) != struct0 for t in trees[1:]
+    ):
+        return None
+    leaf_rows = [jax.tree_util.tree_leaves(t) for t in trees]
+    for leaves in zip(*leaf_rows):
+        a0 = jnp.asarray(leaves[0])
+        if any(
+            jnp.asarray(a).shape != a0.shape
+            or jnp.asarray(a).dtype != a0.dtype
+            for a in leaves[1:]
+        ):
+            return None
+    return jax.tree_util.tree_map(
+        lambda *ls: jnp.stack([jnp.asarray(a) for a in ls]), *trees
+    )
+
+
+def _parents_flat_from_vals(plan, vals, idx, m):
+    pidx = plan.parent_idx[idx]
+    if not pidx:
+        return None
+    parents = jnp.concatenate([vals[p] for p in pidx], axis=-1)
+    return parents.reshape(m, -1)
+
+
 def sweep_trace(
     plan: InferencePlan,
     cpds: Sequence,
@@ -93,34 +144,101 @@ def sweep_trace(
 
     b = fixed.shape[0]
     s = n_samples
+    m = b * s
     vals: List[Optional[jax.Array]] = [None] * plan.n_nodes
     log_w = jnp.zeros((b, s), dtype=jnp.float32)
+    grouping = _use_level_grouping()
 
-    for idx in range(plan.n_nodes):
-        d = plan.node_dims[idx]
-        off = plan.node_offsets[idx]
-        if idx in skip:
-            vals[idx] = jnp.zeros((b, s, d), jnp.float32)
-            continue
-        pidx = plan.parent_idx[idx]
-        if pidx:
-            parents = jnp.concatenate([vals[p] for p in pidx], axis=-1)
-            pflat = parents.reshape(b * s, -1)
-        else:
-            pflat = None
-
-        if plan.is_fixed(idx):
-            v = jnp.broadcast_to(fixed[:, None, off : off + d], (b, s, d))
-            vals[idx] = constrain_bsd(v)
-            if weighted and plan.evidence_mask[idx]:
-                lp = cpds[idx]._log_prob_flat(
-                    params_tuple[idx], v.reshape(b * s, d), pflat
+    # Level-grouped traversal: nodes within a topological level are
+    # conditionally independent given earlier levels, so same-signature
+    # nodes (same CPD class / dims / static config) evaluate as ONE
+    # vmapped call over stacked params — N small GEMMs become one batched
+    # GEMM on the MXU and the trace stays compact on wide levels.
+    for level in plan.levels:
+        latent_groups: dict = {}
+        ev_groups: dict = {}
+        for idx in level:
+            d = plan.node_dims[idx]
+            off = plan.node_offsets[idx]
+            if idx in skip:
+                vals[idx] = jnp.zeros((b, s, d), jnp.float32)
+                continue
+            if plan.is_fixed(idx):
+                v = jnp.broadcast_to(
+                    fixed[:, None, off : off + d], (b, s, d)
                 )
-                log_w = constrain_bs(log_w + lp.reshape(b, s))
-        else:
-            sub = fold(key, idx)
-            v = cpds[idx]._sample_flat(params_tuple[idx], sub, pflat, b * s)
-            vals[idx] = constrain_bsd(v.reshape(b, s, d))
+                vals[idx] = constrain_bsd(v)
+                if weighted and plan.evidence_mask[idx]:
+                    ev_groups.setdefault(_group_sig(cpds[idx]), []).append(idx)
+            else:
+                latent_groups.setdefault(_group_sig(cpds[idx]), []).append(idx)
+
+        for g in latent_groups.values():
+            stacked = (
+                _stack_eval_params(cpds, params_tuple, g)
+                if grouping and len(g) > 1
+                else None
+            )
+            if stacked is None:
+                for idx in g:
+                    sub = fold(key, idx)
+                    pflat = _parents_flat_from_vals(plan, vals, idx, m)
+                    v = cpds[idx]._sample_flat(
+                        params_tuple[idx], sub, pflat, m
+                    )
+                    vals[idx] = constrain_bsd(
+                        v.reshape(b, s, plan.node_dims[idx])
+                    )
+            else:
+                cpd0 = cpds[g[0]]
+                keys = jnp.stack([fold(key, i) for i in g])
+                if cpd0.input_dim > 0:
+                    pstack = jnp.stack(
+                        [_parents_flat_from_vals(plan, vals, i, m) for i in g]
+                    )
+                    vstack = jax.vmap(
+                        lambda p, k, pf: cpd0._sample_flat(p, k, pf, m)
+                    )(stacked, keys, pstack)
+                else:
+                    vstack = jax.vmap(
+                        lambda p, k: cpd0._sample_flat(p, k, None, m)
+                    )(stacked, keys)
+                for j, idx in enumerate(g):
+                    vals[idx] = constrain_bsd(
+                        vstack[j].reshape(b, s, plan.node_dims[idx])
+                    )
+
+        for g in ev_groups.values():
+            stacked = (
+                _stack_eval_params(cpds, params_tuple, g)
+                if grouping and len(g) > 1
+                else None
+            )
+            if stacked is None:
+                for idx in g:
+                    pflat = _parents_flat_from_vals(plan, vals, idx, m)
+                    x = vals[idx].reshape(m, plan.node_dims[idx])
+                    lp = cpds[idx]._log_prob_flat(
+                        params_tuple[idx], x, pflat
+                    )
+                    log_w = constrain_bs(log_w + lp.reshape(b, s))
+            else:
+                cpd0 = cpds[g[0]]
+                xstack = jnp.stack(
+                    [vals[i].reshape(m, plan.node_dims[i]) for i in g]
+                )
+                if cpd0.input_dim > 0:
+                    pstack = jnp.stack(
+                        [_parents_flat_from_vals(plan, vals, i, m) for i in g]
+                    )
+                    lp = jax.vmap(cpd0._log_prob_flat)(
+                        stacked, xstack, pstack
+                    )
+                else:
+                    lp = jax.vmap(
+                        lambda p, x: cpd0._log_prob_flat(p, x, None)
+                    )(stacked, xstack)
+                log_w = constrain_bs(log_w + lp.sum(axis=0).reshape(b, s))
 
     packed = jnp.concatenate(vals, axis=-1)
     return constrain_bsd(packed), log_w

@@ -58,12 +58,50 @@ def mlp_init(
     return {"layers": layers}
 
 
-def mlp_apply(params: Dict, x: jax.Array, activation: str) -> jax.Array:
+def mlp_apply(
+    params: Dict,
+    x: jax.Array,
+    activation: str,
+    compute_dtype=None,
+) -> jax.Array:
+    """MLP forward. ``compute_dtype`` enables mixed-precision GEMMs.
+
+    With ``compute_dtype=jnp.bfloat16`` the matmul inputs are cast to bf16
+    (params stay fp32 in memory) while accumulation happens in fp32 via
+    ``preferred_element_type`` — the MXU's native mode, roughly doubling
+    GEMM throughput at production row counts with fp32-accumulated sums.
+    Output is always fp32.
+    """
     act = _ACTIVATIONS[activation]
     layers = params["layers"]
     h = x
+    if compute_dtype is None:
+        for i, layer in enumerate(layers):
+            h = h @ layer["w"] + layer["b"]
+            if i < len(layers) - 1:
+                h = act(h)
+        return h
+    dt = jnp.dtype(compute_dtype)
     for i, layer in enumerate(layers):
-        h = h @ layer["w"] + layer["b"]
+        h = jax.lax.dot_general(
+            h.astype(dt),
+            layer["w"].astype(dt),
+            (((h.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        h = h + layer["b"]
         if i < len(layers) - 1:
             h = act(h)
     return h
+
+
+def resolve_compute_dtype(name: str):
+    """'float32' -> None (full precision), 'bfloat16' -> jnp.bfloat16."""
+    name = str(name).lower()
+    if name in ("float32", "fp32", "f32"):
+        return None
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    raise ValueError(
+        f"Unknown compute_dtype {name!r}; expected 'float32' or 'bfloat16'"
+    )

@@ -23,7 +23,12 @@ import numpy as np
 
 from ..core.base import BaseCPD, Params
 from ..core.registry import register_cpd
-from ._mlp import check_activation, mlp_apply, mlp_init
+from ._mlp import (
+    check_activation,
+    mlp_apply,
+    mlp_init,
+    resolve_compute_dtype,
+)
 from ._train import fit_minibatch_nll
 
 _NEG = -1e9
@@ -45,6 +50,7 @@ class CategoricalEmbeddedSoftmaxCPD(BaseCPD):
         label_smoothing: float = 0.0,
         class_weighting: str = "none",
         max_grad_norm: Optional[float] = None,
+        compute_dtype: str = "float32",
         **_ignored,
     ) -> None:
         super().__init__(input_dim, output_dim, seed=seed)
@@ -60,6 +66,8 @@ class CategoricalEmbeddedSoftmaxCPD(BaseCPD):
         self.label_smoothing = float(label_smoothing)
         self.class_weighting = str(class_weighting).lower().strip()
         self.max_grad_norm = max_grad_norm
+        resolve_compute_dtype(compute_dtype)
+        self.compute_dtype = str(compute_dtype)
         if self.embedding_dim <= 0:
             raise ValueError("embedding_dim must be >= 1")
         if self.class_weighting not in {"none", "inverse_freq"}:
@@ -79,6 +87,7 @@ class CategoricalEmbeddedSoftmaxCPD(BaseCPD):
             "label_smoothing": self.label_smoothing,
             "class_weighting": self.class_weighting,
             "max_grad_norm": self.max_grad_norm,
+            "compute_dtype": self.compute_dtype,
         }
 
     def get_extra_state(self):
@@ -108,6 +117,7 @@ class CategoricalEmbeddedSoftmaxCPD(BaseCPD):
             self.parent_cards,
             self.resolved_classes,
             self.ready,
+            self.compute_dtype,
         )
 
     # -- lifecycle ----------------------------------------------------------
@@ -219,7 +229,9 @@ class CategoricalEmbeddedSoftmaxCPD(BaseCPD):
         ]
         return jnp.concatenate(parts, axis=-1)
 
-    def _masked_logits_from_idx(self, net_emb, class_mask, parent_idx, m):
+    def _masked_logits_from_idx(
+        self, net_emb, class_mask, parent_idx, m, dt=None
+    ):
         c = max(self.resolved_classes, 1)
         if self.input_dim == 0:
             logits = jnp.broadcast_to(
@@ -227,9 +239,9 @@ class CategoricalEmbeddedSoftmaxCPD(BaseCPD):
             )
         else:
             feats = self._embed(net_emb, parent_idx)
-            logits = mlp_apply(net_emb["net"], feats, self.activation).reshape(
-                m, self.output_dim, c
-            )
+            logits = mlp_apply(
+                net_emb["net"], feats, self.activation, dt
+            ).reshape(m, self.output_dim, c)
         return jnp.where(class_mask[None] > 0.5, logits, _NEG)
 
     # -- training -------------------------------------------------------------
@@ -353,7 +365,8 @@ class CategoricalEmbeddedSoftmaxCPD(BaseCPD):
             parent_idx = self._parents_to_indices(params, parents)
         net_emb = {"net": params["net"], "emb": params.get("emb", {})}
         return self._masked_logits_from_idx(
-            net_emb, params["class_mask"], parent_idx, m
+            net_emb, params["class_mask"], parent_idx, m,
+            resolve_compute_dtype(self.compute_dtype),
         )
 
     def support_values(self, params: Params) -> jax.Array:

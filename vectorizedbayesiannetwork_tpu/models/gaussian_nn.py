@@ -18,7 +18,12 @@ import jax.numpy as jnp
 from ..core.base import BaseCPD, Params
 from ..core.registry import register_cpd
 from ..ops.gauss import diag_gaussian_log_prob, safe_softplus
-from ._mlp import check_activation, mlp_apply, mlp_init
+from ._mlp import (
+    check_activation,
+    mlp_apply,
+    mlp_init,
+    resolve_compute_dtype,
+)
 from ._train import fit_minibatch_nll
 
 
@@ -33,22 +38,33 @@ class GaussianNNCPD(BaseCPD):
         hidden_dims: Sequence[int] = (32, 32),
         activation: str = "relu",
         min_scale: float = 1e-3,
+        compute_dtype: str = "float32",
         **_ignored,
     ) -> None:
         super().__init__(input_dim, output_dim, seed=seed)
         self.hidden_dims = tuple(int(h) for h in hidden_dims)
         self.activation = check_activation(str(activation))
         self.min_scale = float(min_scale)
+        # Eval-path mixed precision: bf16 GEMMs w/ fp32 accumulation on the
+        # MXU. Training stays fp32 (reference-parity learning dynamics).
+        resolve_compute_dtype(compute_dtype)
+        self.compute_dtype = str(compute_dtype)
 
     def get_init_kwargs(self):
         return {
             "hidden_dims": list(self.hidden_dims),
             "activation": self.activation,
             "min_scale": self.min_scale,
+            "compute_dtype": self.compute_dtype,
         }
 
     def _static_fields(self) -> tuple:
-        return (self.hidden_dims, self.activation, self.min_scale)
+        return (
+            self.hidden_dims,
+            self.activation,
+            self.min_scale,
+            self.compute_dtype,
+        )
 
     # -- lifecycle ----------------------------------------------------------
     def init(self, key: jax.Array) -> Params:
@@ -94,7 +110,9 @@ class GaussianNNCPD(BaseCPD):
         loc, scale = self._loc_scale_norm(net, parents, x.shape[0])
         return -jnp.mean(diag_gaussian_log_prob(x, loc, scale))
 
-    def _loc_scale_norm(self, net: Params, parents: jax.Array, m: int):
+    def _loc_scale_norm(
+        self, net: Params, parents: jax.Array, m: int, dt=None
+    ):
         """(loc, scale) in normalized target units from normalized parents."""
         if self.input_dim == 0:
             loc = jnp.broadcast_to(net["loc"], (m, self.output_dim))
@@ -103,7 +121,7 @@ class GaussianNNCPD(BaseCPD):
                 (m, self.output_dim),
             )
             return loc, scale
-        out = mlp_apply(net, parents, self.activation)
+        out = mlp_apply(net, parents, self.activation, dt)
         loc = out[..., : self.output_dim]
         scale = safe_softplus(out[..., self.output_dim :], self.min_scale)
         return loc, scale
@@ -194,7 +212,9 @@ class GaussianNNCPD(BaseCPD):
             pn = None
         else:
             pn = (parents - stats["mean_x"]) / stats["std_x"]
-        loc_n, scale_n = self._loc_scale_norm(params["net"], pn, m)
+        loc_n, scale_n = self._loc_scale_norm(
+            params["net"], pn, m, resolve_compute_dtype(self.compute_dtype)
+        )
         loc = loc_n * stats["std_y"] + stats["mean_y"]
         scale = scale_n * stats["std_y"]
         return loc, scale

@@ -18,7 +18,12 @@ from ..core.base import BaseCPD, Params
 from ..core.registry import register_cpd
 from ..core.rng import fold
 from ..ops.gauss import LOG_2PI, safe_softplus
-from ._mlp import check_activation, mlp_apply, mlp_init
+from ._mlp import (
+    check_activation,
+    mlp_apply,
+    mlp_init,
+    resolve_compute_dtype,
+)
 from ._train import fit_minibatch_nll
 
 
@@ -34,6 +39,7 @@ class MDNCPD(BaseCPD):
         hidden_dims: Sequence[int] = (32, 32),
         activation: str = "relu",
         min_scale: float = 1e-3,
+        compute_dtype: str = "float32",
         **_ignored,
     ) -> None:
         super().__init__(input_dim, output_dim, seed=seed)
@@ -41,6 +47,8 @@ class MDNCPD(BaseCPD):
         self.hidden_dims = tuple(int(h) for h in hidden_dims)
         self.activation = check_activation(str(activation))
         self.min_scale = float(min_scale)
+        resolve_compute_dtype(compute_dtype)
+        self.compute_dtype = str(compute_dtype)
 
     def get_init_kwargs(self):
         return {
@@ -48,6 +56,7 @@ class MDNCPD(BaseCPD):
             "hidden_dims": list(self.hidden_dims),
             "activation": self.activation,
             "min_scale": self.min_scale,
+            "compute_dtype": self.compute_dtype,
         }
 
     def _static_fields(self) -> tuple:
@@ -56,6 +65,7 @@ class MDNCPD(BaseCPD):
             self.hidden_dims,
             self.activation,
             self.min_scale,
+            self.compute_dtype,
         )
 
     # -- lifecycle ----------------------------------------------------------
@@ -77,7 +87,9 @@ class MDNCPD(BaseCPD):
         return {"net": net, "opt": None}
 
     # -- mixture head ---------------------------------------------------------
-    def mixture_params(self, params_or_net, parents: Optional[jax.Array]):
+    def mixture_params(
+        self, params_or_net, parents: Optional[jax.Array], dt=None
+    ):
         """(logits [M,K], loc [M,K,D], scale [M,K,D]) for flat parents."""
         net = params_or_net.get("net", params_or_net)
         k, d = self.n_components, self.output_dim
@@ -89,7 +101,7 @@ class MDNCPD(BaseCPD):
                 safe_softplus(net["log_scale"], self.min_scale), (m, k, d)
             )
             return logits, loc, scale
-        out = mlp_apply(net, parents, self.activation)
+        out = mlp_apply(net, parents, self.activation, dt)
         logits = out[..., :k]
         rest = out[..., k:].reshape(out.shape[0], k, 2 * d)
         loc = rest[..., :d]
@@ -138,7 +150,9 @@ class MDNCPD(BaseCPD):
 
     # -- pure kernels --------------------------------------------------------
     def _sample_flat(self, params, key, parents, m):
-        logits, loc, scale = self.mixture_params(params, parents)
+        logits, loc, scale = self.mixture_params(
+            params, parents, resolve_compute_dtype(self.compute_dtype)
+        )
         logits = jnp.broadcast_to(logits, (m, self.n_components))
         loc = jnp.broadcast_to(loc, (m, self.n_components, self.output_dim))
         scale = jnp.broadcast_to(scale, loc.shape)
@@ -155,7 +169,9 @@ class MDNCPD(BaseCPD):
         return loc_c + eps * scale_c
 
     def _log_prob_flat(self, params, x, parents):
-        logits, loc, scale = self.mixture_params(params, parents)
+        logits, loc, scale = self.mixture_params(
+            params, parents, resolve_compute_dtype(self.compute_dtype)
+        )
         m = x.shape[0]
         logits = jnp.broadcast_to(logits, (m, self.n_components))
         loc = jnp.broadcast_to(loc, (m, self.n_components, self.output_dim))

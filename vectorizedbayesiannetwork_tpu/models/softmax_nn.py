@@ -31,7 +31,12 @@ import numpy as np
 from ..core.base import BaseCPD, Params
 from ..core.registry import register_cpd
 from ..ops.gauss import LOG_2PI
-from ._mlp import check_activation, mlp_apply, mlp_init
+from ._mlp import (
+    check_activation,
+    mlp_apply,
+    mlp_init,
+    resolve_compute_dtype,
+)
 from ._train import fit_minibatch_nll
 
 _BINNINGS = ("uniform", "gaussian", "quantile")
@@ -59,6 +64,7 @@ class SoftmaxNNCPD(BaseCPD):
         class_weighting: str = "none",
         debug: bool = False,
         debug_every: int = 0,
+        compute_dtype: str = "float32",
         **_ignored,
     ) -> None:
         super().__init__(input_dim, output_dim, seed=seed)
@@ -75,6 +81,8 @@ class SoftmaxNNCPD(BaseCPD):
         self.class_weighting = str(class_weighting).lower().strip()
         self.debug = bool(debug)
         self.debug_every = int(debug_every)
+        resolve_compute_dtype(compute_dtype)
+        self.compute_dtype = str(compute_dtype)
         self.temperature = 1.0
         if self.n_classes <= 0:
             raise ValueError("n_classes must be >= 1")
@@ -109,6 +117,7 @@ class SoftmaxNNCPD(BaseCPD):
             "class_weighting": self.class_weighting,
             "debug": self.debug,
             "debug_every": self.debug_every,
+            "compute_dtype": self.compute_dtype,
         }
 
     def get_extra_state(self):
@@ -133,6 +142,7 @@ class SoftmaxNNCPD(BaseCPD):
             self.class_weighting,
             self.bins_ready,
             self.root_ready,
+            self.compute_dtype,
         )
 
     # -- lifecycle ----------------------------------------------------------
@@ -318,7 +328,10 @@ class SoftmaxNNCPD(BaseCPD):
             return jnp.broadcast_to(
                 net["logits"][None] / self.temperature, (m, d, c)
             )
-        out = mlp_apply(net, parents, self.activation)
+        out = mlp_apply(
+            net, parents, self.activation,
+            resolve_compute_dtype(self.compute_dtype),
+        )
         return out.reshape(m, d, c) / self.temperature
 
     # -- training ---------------------------------------------------------------
