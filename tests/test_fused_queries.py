@@ -1,0 +1,86 @@
+"""Multi-query fusion: infer_posterior_many == sequential infer_posterior.
+
+``VBN.infer_posterior_many`` traces several query programs into ONE XLA
+dispatch (``inference/_base.py::CompiledMethod.infer_posterior_many``).
+Because both paths draw per-query keys from the same host-side KeyStream in
+the same order, fused and sequential results on identically-seeded models
+must match exactly.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import make_chain_df, make_chain_graph
+from vectorizedbayesiannetwork_tpu import VBN, defaults
+
+B, S = 2, 64
+
+QUERIES = [
+    {"target": "x2", "evidence": {"x0": [[0.3]] * B, "x1": [[-0.2]] * B}},
+    {"target": "x0", "evidence": {"x2": [[0.4]]}},
+    {"target": "x2", "do": {"x0": [[1.0]]}},
+    {"target": "x1", "evidence": {}},
+]
+
+
+def _fresh_vbn():
+    v = VBN(make_chain_graph(), seed=0)
+    v.set_learning_method(
+        "node_wise",
+        nodes_cpds={
+            k: defaults.cpd("linear_gaussian") for k in ["x0", "x1", "x2"]
+        },
+    )
+    v.fit(make_chain_df())
+    return v
+
+
+@pytest.mark.parametrize(
+    "method",
+    [
+        "monte_carlo_marginalization",
+        "likelihood_weighting",
+        "importance_sampling",
+        "resampled_importance_sampling",
+    ],
+)
+def test_fused_matches_sequential(method):
+    v1 = _fresh_vbn()
+    v1.set_inference_method(method, n_samples=S)
+    fused = v1.infer_posterior_many(QUERIES)
+
+    v2 = _fresh_vbn()
+    v2.set_inference_method(method, n_samples=S)
+    seq = [v2.infer_posterior(q) for q in QUERIES]
+
+    assert len(fused) == len(QUERIES)
+    for (pf, sf), (ps, ss) in zip(fused, seq):
+        np.testing.assert_allclose(
+            np.asarray(pf), np.asarray(ps), rtol=1e-6, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(sf), np.asarray(ss), rtol=1e-6, atol=1e-7
+        )
+
+
+def test_fused_cache_reuse_and_fresh_randomness():
+    v = _fresh_vbn()
+    v.set_inference_method("monte_carlo_marginalization", n_samples=S)
+    r1 = v.infer_posterior_many(QUERIES)
+    assert len(v._inference._fused_cache) == 1
+    r2 = v.infer_posterior_many(QUERIES)
+    assert len(v._inference._fused_cache) == 1  # same fused program reused
+    # fresh keys -> different draws for stochastic queries
+    assert not np.allclose(np.asarray(r1[0][1]), np.asarray(r2[0][1]))
+
+
+def test_fallback_method_sequential():
+    # gaussian_exact has host-side fallback chains -> no fused program;
+    # the API must still answer every query correctly.
+    v = _fresh_vbn()
+    v.set_inference_method("gaussian_exact")
+    res = v.infer_posterior_many(QUERIES[:2])
+    assert len(res) == 2
+    for pdf, samples in res:
+        assert np.all(np.isfinite(np.asarray(pdf)))
+        assert np.asarray(samples).ndim == 3

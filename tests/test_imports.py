@@ -32,7 +32,7 @@ def test_registries_complete():
         "monte_carlo_marginalization", "importance_sampling",
         "likelihood_weighting", "resampled_importance_sampling", "lbp",
         "gaussian_exact", "categorical_exact",
-        "rao_blackwellized_marginalization",
+        "rao_blackwellized_marginalization", "amortized",
     }
     assert set(vt.SAMPLING_REGISTRY) == {"ancestral", "gibbs", "hmc", "nuts"}
     assert set(vt.UPDATE_REGISTRY) == {
@@ -53,18 +53,21 @@ def test_benchmarking_imports():
         importlib.import_module(name)
 
 
-def test_amortized_placeholder():
+def test_amortized_is_real():
+    # The reference stubs amortized learning with NotImplementedError
+    # (vbn/learning/amortized.py:6-14); here it actually fits — a tiny
+    # single-node net must train and produce an amortizer.
     import networkx as nx
-    import pytest
+    import numpy as np
 
     from vectorizedbayesiannetwork_tpu import VBN
 
     g = nx.DiGraph()
     g.add_node("a")
     v = VBN(g, seed=0)
-    v.set_learning_method("amortized")
-    with pytest.raises(NotImplementedError):
-        v.fit({"a": [[0.0], [1.0]]})
+    v.set_learning_method("amortized", epochs=2, batch_size=32)
+    v.fit({"a": np.random.default_rng(0).normal(size=(64, 1))})
+    assert v.amortized is not None
 
 
 def test_temporal_dag_placeholders():

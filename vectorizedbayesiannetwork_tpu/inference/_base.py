@@ -8,7 +8,8 @@ key — the XLA analogue of the reference's precompiled query plan.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Tuple
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 
@@ -18,9 +19,80 @@ from ..core.utils import infer_batch_size
 from ..parallel.mesh import active_mesh, mesh_signature
 
 
+@dataclass
+class Program:
+    """A query's traceable inference program, before jit.
+
+    ``fn(params_tuple, key, fixed) -> outs`` is the pure program;
+    ``post(outs) -> (pdf, samples)`` is the host-side epilogue (ESS
+    bookkeeping, fallback decisions). Methods that expose programs can be
+    fused: ``infer_posterior_many`` traces several programs into ONE XLA
+    computation, amortizing dispatch overhead across queries — the TPU
+    analogue of the reference's skeleton-grouped query batching
+    (``benchmarking/IIII_run_benchmark/base.py:69-110``), but across
+    *heterogeneous* plans rather than only same-skeleton queries.
+    """
+
+    plan: InferencePlan
+    tag: Tuple
+    fn: Callable
+    params: Tuple
+    fixed: jax.Array
+    post: Callable
+
+
 class CompiledMethod:
     def __init__(self) -> None:
         self._fn_cache: Dict[Tuple, Callable] = {}
+        self._fused_cache: Dict[Tuple, Callable] = {}
+
+    def make_program(self, vbn, query: Query, **kwargs) -> Optional[Program]:
+        """Return this query's Program, or None if the method has host-side
+        control flow that cannot be expressed as one pure program."""
+        return None
+
+    def _program_key(self, vbn, plan: InferencePlan, tag: Tuple) -> Tuple:
+        cpd_sigs = tuple(
+            vbn.cpd_spec(n).static_signature() for n in plan.topo_order
+        )
+        return (plan, cpd_sigs, mesh_signature(getattr(vbn, "_mesh", None))) + tag
+
+    def infer_posterior_many(
+        self, vbn, queries: Sequence[Query], **kwargs
+    ) -> Optional[List[Tuple[jax.Array, jax.Array]]]:
+        """Answer several queries in ONE device dispatch, or None to signal
+        the caller to fall back to sequential per-query dispatch."""
+        progs = [self.make_program(vbn, q, **kwargs) for q in queries]
+        if not progs or any(p is None for p in progs):
+            return None
+        cache_key = tuple(self._program_key(vbn, p.plan, p.tag) for p in progs)
+        fused = self._fused_cache.get(cache_key)
+        if fused is None:
+            fns = tuple(p.fn for p in progs)
+            mesh = getattr(vbn, "_mesh", None)
+
+            def fused_fn(params_list, keys, fixed_list, _fns=fns, _mesh=mesh):
+                with active_mesh(_mesh):
+                    return tuple(
+                        f(p, k, x)
+                        for f, p, k, x in zip(
+                            _fns, params_list, keys, fixed_list
+                        )
+                    )
+
+            fused = jax.jit(fused_fn)
+            self._fused_cache[cache_key] = fused
+        outs = fused(
+            tuple(p.params for p in progs),
+            tuple(vbn.next_key() for _ in progs),
+            tuple(p.fixed for p in progs),
+        )
+        return [p.post(o) for p, o in zip(progs, outs)]
+
+    def _run_program(self, vbn, prog: Program):
+        fn = self._compiled(vbn, prog.plan, prog.tag, lambda: prog.fn)
+        outs = fn(prog.params, vbn.next_key(), prog.fixed)
+        return prog.post(outs)
 
     def _plan_and_batch(self, vbn, query: Query):
         b = infer_batch_size(query.evidence, query.do)

@@ -20,7 +20,7 @@ import numpy as np
 from ..core.base import Query
 from ..core.plan import pack_fixed_values
 from ..core.registry import register_inference
-from ._base import CompiledMethod
+from ._base import CompiledMethod, Program
 from ._sweep import node_values, sweep_trace
 from .likelihood_weighting import LikelihoodWeighting
 
@@ -35,32 +35,37 @@ class ImportanceSampling(CompiledMethod):
         self._last_fallback = False
         self._last_ess: Optional[jax.Array] = None
 
-    def infer_posterior(self, vbn, query: Query, **kwargs):
+    def make_program(self, vbn, query: Query, **kwargs):
         s = int(kwargs.get("n_samples", self.n_samples))
         plan, b = self._plan_and_batch(vbn, query)
         fixed = pack_fixed_values(query, plan, b)
         cpds = self._cpds(vbn, plan)
         t = plan.target_idx
 
-        def build():
-            def fn(params_tuple, key, fixed_vals):
-                packed, log_w = sweep_trace(
-                    plan, cpds, params_tuple, key, fixed_vals, s, weighted=True
-                )
-                weights = jax.nn.softmax(log_w, axis=1)
-                ess = 1.0 / jnp.sum(weights**2, axis=1)
-                return weights, node_values(plan, packed, t), ess
+        def fn(params_tuple, key, fixed_vals):
+            packed, log_w = sweep_trace(
+                plan, cpds, params_tuple, key, fixed_vals, s, weighted=True
+            )
+            weights = jax.nn.softmax(log_w, axis=1)
+            ess = 1.0 / jnp.sum(weights**2, axis=1)
+            return weights, node_values(plan, packed, t), ess
 
-            return fn
+        def post(outs):
+            weights, samples, ess = outs
+            self._last_ess = ess
+            threshold = max(1.0, self.ess_threshold * float(s))
+            if bool(np.any(np.asarray(ess) < threshold)):
+                # ESS collapse: rerun as full likelihood weighting (one extra
+                # dispatch for this query only), parity with the reference's
+                # fallback (importance_sampling.py:82-89).
+                self._last_fallback = True
+                return self._lw.infer_posterior(vbn, query, n_samples=s)
+            self._last_fallback = False
+            return weights, samples
 
-        fn = self._compiled(vbn, plan, ("is", s), build)
-        weights, samples, ess = fn(
-            self._params_tuple(vbn, plan), vbn.next_key(), fixed
+        return Program(
+            plan, ("is", s), fn, self._params_tuple(vbn, plan), fixed, post
         )
-        self._last_ess = ess
-        threshold = max(1.0, self.ess_threshold * float(s))
-        if bool(np.any(np.asarray(ess) < threshold)):
-            self._last_fallback = True
-            return self._lw.infer_posterior(vbn, query, n_samples=s)
-        self._last_fallback = False
-        return weights, samples
+
+    def infer_posterior(self, vbn, query: Query, **kwargs):
+        return self._run_program(vbn, self.make_program(vbn, query, **kwargs))

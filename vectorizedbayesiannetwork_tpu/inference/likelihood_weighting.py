@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from ..core.base import Query
 from ..core.plan import pack_fixed_values
 from ..core.registry import register_inference
-from ._base import CompiledMethod
+from ._base import CompiledMethod, Program
 from ._sweep import node_values, sweep_trace
 
 
@@ -35,7 +35,7 @@ class LikelihoodWeighting(CompiledMethod):
         self.normalize = bool(normalize)
         self._last_ess = None
 
-    def infer_posterior(self, vbn, query: Query, **kwargs):
+    def make_program(self, vbn, query: Query, **kwargs):
         s = int(kwargs.get("n_samples", self.n_samples))
         normalize = bool(kwargs.get("normalize", self.normalize))
         plan, b = self._plan_and_batch(vbn, query)
@@ -43,39 +43,46 @@ class LikelihoodWeighting(CompiledMethod):
         cpds = self._cpds(vbn, plan)
         t = plan.target_idx
 
-        def build():
-            def fn(params_tuple, key, fixed_vals):
-                packed, log_w = sweep_trace(
-                    plan, cpds, params_tuple, key, fixed_vals, s, weighted=True
+        def fn(params_tuple, key, fixed_vals):
+            packed, log_w = sweep_trace(
+                plan, cpds, params_tuple, key, fixed_vals, s, weighted=True
+            )
+            if normalize:
+                weights = jnp.exp(
+                    log_w - jnp.max(log_w, axis=1, keepdims=True)
                 )
-                if normalize:
-                    weights = jnp.exp(
-                        log_w - jnp.max(log_w, axis=1, keepdims=True)
-                    )
-                    weights = weights / jnp.maximum(
+                weights = weights / jnp.maximum(
+                    jnp.sum(weights, axis=1, keepdims=True), self.eps
+                )
+            else:
+                weights = jnp.exp(
+                    log_w - jnp.max(log_w, axis=1, keepdims=True)
+                )
+            ess = 1.0 / jnp.maximum(
+                jnp.sum(
+                    (weights / jnp.maximum(
                         jnp.sum(weights, axis=1, keepdims=True), self.eps
-                    )
-                else:
-                    weights = jnp.exp(
-                        log_w - jnp.max(log_w, axis=1, keepdims=True)
-                    )
-                ess = 1.0 / jnp.maximum(
-                    jnp.sum(
-                        (weights / jnp.maximum(
-                            jnp.sum(weights, axis=1, keepdims=True), self.eps
-                        ))
-                        ** 2,
-                        axis=1,
-                    ),
-                    self.eps,
-                )
-                return weights, node_values(plan, packed, t), ess
+                    ))
+                    ** 2,
+                    axis=1,
+                ),
+                self.eps,
+            )
+            return weights, node_values(plan, packed, t), ess
 
-            return fn
+        def post(outs):
+            weights, samples, ess = outs
+            self._last_ess = ess
+            return weights, samples
 
-        fn = self._compiled(vbn, plan, ("lw", s, normalize), build)
-        weights, samples, ess = fn(
-            self._params_tuple(vbn, plan), vbn.next_key(), fixed
+        return Program(
+            plan,
+            ("lw", s, normalize),
+            fn,
+            self._params_tuple(vbn, plan),
+            fixed,
+            post,
         )
-        self._last_ess = ess
-        return weights, samples
+
+    def infer_posterior(self, vbn, query: Query, **kwargs):
+        return self._run_program(vbn, self.make_program(vbn, query, **kwargs))

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from ..core.base import Query
 from ..core.plan import pack_fixed_values
 from ..core.registry import register_inference
-from ._base import CompiledMethod
+from ._base import CompiledMethod, Program
 from ._sweep import node_values, sweep_trace, target_log_prob
 
 
@@ -24,7 +24,7 @@ class MonteCarloMarginalization(CompiledMethod):
         super().__init__()
         self.n_samples = int(n_samples)
 
-    def infer_posterior(self, vbn, query: Query, **kwargs):
+    def make_program(self, vbn, query: Query, **kwargs):
         s = int(kwargs.get("n_samples", self.n_samples))
         plan, b = self._plan_and_batch(vbn, query)
         fixed = pack_fixed_values(query, plan, b)
@@ -32,63 +32,66 @@ class MonteCarloMarginalization(CompiledMethod):
         t_off, t_dim = plan.node_offsets[t], plan.node_dims[t]
         cpds = self._cpds(vbn, plan)
         params = self._params_tuple(vbn, plan)
+        post = lambda outs: outs  # noqa: E731
 
         # do(target) => degenerate delta at the intervened value.
         if plan.do_mask[t]:
-            value = jnp.broadcast_to(
-                fixed[:, None, t_off : t_off + t_dim], (b, s, t_dim)
-            )
-            return jnp.ones((b, s), jnp.float32), value
+
+            def fn_delta(params_tuple, key, fixed_vals):
+                bb = fixed_vals.shape[0]
+                value = jnp.broadcast_to(
+                    fixed_vals[:, None, t_off : t_off + t_dim], (bb, s, t_dim)
+                )
+                return jnp.ones((bb, s), jnp.float32), value
+
+            return Program(plan, ("mcm_delta", s), fn_delta, params, fixed, post)
 
         parents_fixed = all(plan.is_fixed(p) for p in plan.parent_idx[t])
         if parents_fixed:
             # Direct CPD evaluation: no ancestor sampling needed.
-            def build():
-                def fn(params_tuple, key, fixed_vals):
-                    bb = fixed_vals.shape[0]
-                    pidx = plan.parent_idx[t]
-                    if pidx:
-                        cols = [
-                            fixed_vals[
-                                :,
-                                plan.node_offsets[p] : plan.node_offsets[p]
-                                + plan.node_dims[p],
-                            ]
-                            for p in pidx
+            def fn_direct(params_tuple, key, fixed_vals):
+                bb = fixed_vals.shape[0]
+                pidx = plan.parent_idx[t]
+                if pidx:
+                    cols = [
+                        fixed_vals[
+                            :,
+                            plan.node_offsets[p] : plan.node_offsets[p]
+                            + plan.node_dims[p],
                         ]
-                        pflat = jnp.repeat(
-                            jnp.concatenate(cols, axis=-1), s, axis=0
-                        )
-                    else:
-                        pflat = None
-                    if plan.evidence_mask[t]:
-                        x = jnp.broadcast_to(
-                            fixed_vals[:, None, t_off : t_off + t_dim],
-                            (bb, s, t_dim),
-                        )
-                    else:
-                        x = cpds[t]._sample_flat(
-                            params_tuple[t], key, pflat, bb * s
-                        ).reshape(bb, s, t_dim)
-                    lp = cpds[t]._log_prob_flat(
-                        params_tuple[t], x.reshape(bb * s, t_dim), pflat
-                    ).reshape(bb, s)
-                    return jnp.exp(lp), x
+                        for p in pidx
+                    ]
+                    pflat = jnp.repeat(
+                        jnp.concatenate(cols, axis=-1), s, axis=0
+                    )
+                else:
+                    pflat = None
+                if plan.evidence_mask[t]:
+                    x = jnp.broadcast_to(
+                        fixed_vals[:, None, t_off : t_off + t_dim],
+                        (bb, s, t_dim),
+                    )
+                else:
+                    x = cpds[t]._sample_flat(
+                        params_tuple[t], key, pflat, bb * s
+                    ).reshape(bb, s, t_dim)
+                lp = cpds[t]._log_prob_flat(
+                    params_tuple[t], x.reshape(bb * s, t_dim), pflat
+                ).reshape(bb, s)
+                return jnp.exp(lp), x
 
-                return fn
+            return Program(
+                plan, ("mcm_direct", s), fn_direct, params, fixed, post
+            )
 
-            fn = self._compiled(vbn, plan, ("mcm_direct", s), build)
-            return fn(params, vbn.next_key(), fixed)
+        def fn(params_tuple, key, fixed_vals):
+            packed, _ = sweep_trace(
+                plan, cpds, params_tuple, key, fixed_vals, s
+            )
+            lp = target_log_prob(plan, cpds, params_tuple, packed)
+            return jnp.exp(lp), node_values(plan, packed, t)
 
-        def build():
-            def fn(params_tuple, key, fixed_vals):
-                packed, _ = sweep_trace(
-                    plan, cpds, params_tuple, key, fixed_vals, s
-                )
-                lp = target_log_prob(plan, cpds, params_tuple, packed)
-                return jnp.exp(lp), node_values(plan, packed, t)
+        return Program(plan, ("mcm", s), fn, params, fixed, post)
 
-            return fn
-
-        fn = self._compiled(vbn, plan, ("mcm", s), build)
-        return fn(params, vbn.next_key(), fixed)
+    def infer_posterior(self, vbn, query: Query, **kwargs):
+        return self._run_program(vbn, self.make_program(vbn, query, **kwargs))

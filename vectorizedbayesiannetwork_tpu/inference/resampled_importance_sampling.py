@@ -23,7 +23,7 @@ from ..core.plan import pack_fixed_values
 from ..core.registry import register_inference
 from ..core.rng import fold
 from ..ops.resample import gather_particles, multinomial_resample_indices
-from ._base import CompiledMethod
+from ._base import CompiledMethod, Program
 from ._sweep import node_values
 
 
@@ -45,7 +45,7 @@ class ResampledImportanceSampling(CompiledMethod):
         self._last_ess: Optional[jax.Array] = None
         self._last_resampled = False
 
-    def infer_posterior(self, vbn, query: Query, **kwargs):
+    def make_program(self, vbn, query: Query, **kwargs):
         s = int(kwargs.get("n_samples", self.n_samples))
         ess_threshold = float(kwargs.get("ess_threshold", self.ess_threshold))
         resample = bool(kwargs.get("resample", self.resample))
@@ -60,78 +60,84 @@ class ResampledImportanceSampling(CompiledMethod):
             else float(ess_threshold)
         )
 
-        def build():
-            def fn(params_tuple, key, fixed_vals):
-                bb = fixed_vals.shape[0]
-                vals = [None] * plan.n_nodes
-                log_w = jnp.zeros((bb, s), jnp.float32)
-                any_resampled = jnp.zeros((), bool)
-                last_ess = jnp.full((bb,), float(s), jnp.float32)
-                for idx in range(plan.n_nodes):
-                    d = plan.node_dims[idx]
-                    off = plan.node_offsets[idx]
-                    pidx = plan.parent_idx[idx]
-                    if pidx:
-                        parents = jnp.concatenate(
-                            [vals[p] for p in pidx], axis=-1
-                        )
-                        pflat = parents.reshape(bb * s, -1)
-                    else:
-                        pflat = None
-                    if plan.is_fixed(idx):
-                        v = jnp.broadcast_to(
-                            fixed_vals[:, None, off : off + d], (bb, s, d)
-                        )
-                        vals[idx] = v
-                        if plan.evidence_mask[idx]:
-                            lp = cpds[idx]._log_prob_flat(
-                                params_tuple[idx], v.reshape(bb * s, d), pflat
-                            )
-                            log_w = log_w + lp.reshape(bb, s)
-                            if resample:
-                                weights = jax.nn.softmax(log_w, axis=1)
-                                ess = 1.0 / jnp.sum(weights**2, axis=1)
-                                last_ess = ess
-                                need = ess < threshold  # [B]
-                                ridx = multinomial_resample_indices(
-                                    fold(key, 10_000 + idx), weights
-                                )
-                                # Branchless per-row select: resample the
-                                # prefix of sampled nodes + reset weights
-                                # only where ESS collapsed.
-                                for j in range(idx + 1):
-                                    if vals[j] is not None:
-                                        res = gather_particles(vals[j], ridx)
-                                        vals[j] = jnp.where(
-                                            need[:, None, None], res, vals[j]
-                                        )
-                                log_w = jnp.where(
-                                    need[:, None], jnp.zeros_like(log_w), log_w
-                                )
-                                any_resampled = any_resampled | jnp.any(need)
-                        continue
-                    sub = fold(key, idx)
-                    v = cpds[idx]._sample_flat(
-                        params_tuple[idx], sub, pflat, bb * s
+        def fn(params_tuple, key, fixed_vals):
+            bb = fixed_vals.shape[0]
+            vals = [None] * plan.n_nodes
+            log_w = jnp.zeros((bb, s), jnp.float32)
+            any_resampled = jnp.zeros((), bool)
+            last_ess = jnp.full((bb,), float(s), jnp.float32)
+            for idx in range(plan.n_nodes):
+                d = plan.node_dims[idx]
+                off = plan.node_offsets[idx]
+                pidx = plan.parent_idx[idx]
+                if pidx:
+                    parents = jnp.concatenate(
+                        [vals[p] for p in pidx], axis=-1
                     )
-                    vals[idx] = v.reshape(bb, s, d)
-                packed = jnp.concatenate(vals, axis=-1)
-                weights = jax.nn.softmax(log_w, axis=1)
-                return (
-                    weights,
-                    node_values(plan, packed, t),
-                    last_ess,
-                    any_resampled,
+                    pflat = parents.reshape(bb * s, -1)
+                else:
+                    pflat = None
+                if plan.is_fixed(idx):
+                    v = jnp.broadcast_to(
+                        fixed_vals[:, None, off : off + d], (bb, s, d)
+                    )
+                    vals[idx] = v
+                    if plan.evidence_mask[idx]:
+                        lp = cpds[idx]._log_prob_flat(
+                            params_tuple[idx], v.reshape(bb * s, d), pflat
+                        )
+                        log_w = log_w + lp.reshape(bb, s)
+                        if resample:
+                            weights = jax.nn.softmax(log_w, axis=1)
+                            ess = 1.0 / jnp.sum(weights**2, axis=1)
+                            last_ess = ess
+                            need = ess < threshold  # [B]
+                            ridx = multinomial_resample_indices(
+                                fold(key, 10_000 + idx), weights
+                            )
+                            # Branchless per-row select: resample the
+                            # prefix of sampled nodes + reset weights
+                            # only where ESS collapsed.
+                            for j in range(idx + 1):
+                                if vals[j] is not None:
+                                    res = gather_particles(vals[j], ridx)
+                                    vals[j] = jnp.where(
+                                        need[:, None, None], res, vals[j]
+                                    )
+                            log_w = jnp.where(
+                                need[:, None], jnp.zeros_like(log_w), log_w
+                            )
+                            any_resampled = any_resampled | jnp.any(need)
+                    continue
+                sub = fold(key, idx)
+                v = cpds[idx]._sample_flat(
+                    params_tuple[idx], sub, pflat, bb * s
                 )
+                vals[idx] = v.reshape(bb, s, d)
+            packed = jnp.concatenate(vals, axis=-1)
+            weights = jax.nn.softmax(log_w, axis=1)
+            return (
+                weights,
+                node_values(plan, packed, t),
+                last_ess,
+                any_resampled,
+            )
 
-            return fn
 
-        fn = self._compiled(
-            vbn, plan, ("ris", s, threshold, resample, clamp_obs), build
+        def post(outs):
+            weights, samples, ess, resampled = outs
+            self._last_ess = ess
+            self._last_resampled = bool(resampled)
+            return weights, samples
+
+        return Program(
+            plan,
+            ("ris", s, threshold, resample, clamp_obs),
+            fn,
+            self._params_tuple(vbn, plan),
+            fixed,
+            post,
         )
-        weights, samples, ess, resampled = fn(
-            self._params_tuple(vbn, plan), vbn.next_key(), fixed
-        )
-        self._last_ess = ess
-        self._last_resampled = bool(resampled)
-        return weights, samples
+
+    def infer_posterior(self, vbn, query: Query, **kwargs):
+        return self._run_program(vbn, self.make_program(vbn, query, **kwargs))

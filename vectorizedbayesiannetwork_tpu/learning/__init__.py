@@ -1,1 +1,1 @@
-from . import node_wise  # noqa: F401
+from . import amortized, node_wise  # noqa: F401

@@ -100,12 +100,5 @@ class NodeWiseLearner:
         return vbn.nodes
 
 
-@register_learning("amortized")
-class AmortizedLearner:
-    """Registered placeholder (parity: ``vbn/learning/amortized.py:6-14``)."""
-
-    def __init__(self, **_kwargs) -> None:
-        pass
-
-    def fit(self, vbn, data, **kwargs):
-        raise NotImplementedError("amortized learning is not implemented yet")
+# "amortized" lives in learning/amortized.py — a REAL implementation
+# (masked-evidence posterior network), unlike the reference's placeholder.

@@ -157,6 +157,7 @@ class VBN:
         self.config = _load_configs()
         self._keys = KeyStream(self.seed)
         self._plan_cache: Dict = {}
+        self.amortized: Optional[Dict[str, Any]] = None  # set by 'amortized' learning
 
         self._learning = None
         self._inference = None
@@ -349,6 +350,35 @@ class VBN:
         q = self._normalize_query(query)
         pdf, samples = self._inference.infer_posterior(self, q, **kwargs)
         return jax.lax.stop_gradient(pdf), jax.lax.stop_gradient(samples)
+
+    def infer_posterior_many(self, queries, **kwargs):
+        """Answer several posterior queries in ONE device dispatch.
+
+        Serving-path fusion: the active inference method's programs for all
+        queries (possibly different targets / evidence key-sets, i.e.
+        different compiled plans) are traced into a single XLA computation,
+        amortizing the fixed dispatch cost across queries. Falls back to
+        sequential per-query dispatch for methods whose host-side control
+        flow cannot be fused (exact/RB fallback chains). Returns a list of
+        (pdf, samples) pairs, one per query, in input order.
+        """
+        if self._inference is None:
+            raise RuntimeError(
+                "Call set_inference_method(...) before infer_posterior_many()."
+            )
+        qs = [self._normalize_query(q) for q in queries]
+        results = None
+        many = getattr(self._inference, "infer_posterior_many", None)
+        if many is not None:
+            results = many(self, qs, **kwargs)
+        if results is None:
+            results = [
+                self._inference.infer_posterior(self, q, **kwargs) for q in qs
+            ]
+        return [
+            (jax.lax.stop_gradient(p), jax.lax.stop_gradient(s))
+            for p, s in results
+        ]
 
     def _posterior_stats(
         self, pdf: jax.Array, samples: jax.Array, *, eps: float = 1e-12
@@ -546,6 +576,10 @@ class VBN:
             "rng_counter": self._keys.state(),
         }
         structure = {"dag": dag_info, "nodes": nodes_meta, "meta": meta}
+        if self.amortized is not None:
+            structure["amortized_spec"] = self.amortized["spec"].to_dict()
+            for pkey, arr in _flatten_pytree(self.amortized["net"]).items():
+                arrays[f"__amortized__\x1f{pkey}"] = np.asarray(arr)
         if extra is not None:
             structure["extra"] = extra
         if include_configs:
@@ -636,12 +670,24 @@ class VBN:
 
         node_arrays: Dict[str, Dict[str, np.ndarray]] = {}
         update_arrays: Dict[str, np.ndarray] = {}
+        amortized_arrays: Dict[str, np.ndarray] = {}
         for full_key, arr in arrays.items():
             owner, pkey = full_key.split("\x1f", 1)
             if owner == "__update__":
                 update_arrays[pkey] = arr
+            elif owner == "__amortized__":
+                amortized_arrays[pkey] = arr
             else:
                 node_arrays.setdefault(owner, {})[pkey] = arr
+
+        amortized_spec = structure.get("amortized_spec")
+        if amortized_spec is not None and amortized_arrays:
+            from .learning.amortized import AmortizedSpec
+
+            vbn.amortized = {
+                "spec": AmortizedSpec.from_dict(amortized_spec),
+                "net": _unflatten_pytree(amortized_arrays),
+            }
 
         for node, info in structure.get("nodes", {}).items():
             cpd_key = info.get("cpd_key")
