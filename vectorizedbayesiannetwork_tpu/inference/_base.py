@@ -65,25 +65,46 @@ class CompiledMethod:
         progs = [self.make_program(vbn, q, **kwargs) for q in queries]
         if not progs or any(p is None for p in progs):
             return None
-        cache_key = tuple(self._program_key(vbn, p.plan, p.tag) for p in progs)
+        # Programs of one model nearly always share the same params pytree
+        # (the plan's topo order is the full DAG for every query). Dedupe by
+        # leaf identity so the dispatch flattens each param leaf ONCE, not
+        # once per query — at many queries the host-side flatten is the
+        # fixed cost fusion exists to amortize.
+        unique_params: List = []
+        param_idx: List[int] = []
+        for p in progs:
+            for j, u in enumerate(unique_params):
+                if u is p.params or (
+                    isinstance(u, tuple)
+                    and isinstance(p.params, tuple)
+                    and len(u) == len(p.params)
+                    and all(a is b for a, b in zip(u, p.params))
+                ):
+                    param_idx.append(j)
+                    break
+            else:
+                unique_params.append(p.params)
+                param_idx.append(len(unique_params) - 1)
+        cache_key = tuple(
+            self._program_key(vbn, p.plan, p.tag) for p in progs
+        ) + (tuple(param_idx),)
         fused = self._fused_cache.get(cache_key)
         if fused is None:
             fns = tuple(p.fn for p in progs)
             mesh = getattr(vbn, "_mesh", None)
+            idx = tuple(param_idx)
 
-            def fused_fn(params_list, keys, fixed_list, _fns=fns, _mesh=mesh):
+            def fused_fn(uparams, keys, fixed_list, _fns=fns, _mesh=mesh):
                 with active_mesh(_mesh):
                     return tuple(
-                        f(p, k, x)
-                        for f, p, k, x in zip(
-                            _fns, params_list, keys, fixed_list
-                        )
+                        f(uparams[idx[i]], keys[i], fixed_list[i])
+                        for i, f in enumerate(_fns)
                     )
 
             fused = jax.jit(fused_fn)
             self._fused_cache[cache_key] = fused
         outs = fused(
-            tuple(p.params for p in progs),
+            tuple(unique_params),
             tuple(vbn.next_key() for _ in progs),
             tuple(p.fixed for p in progs),
         )

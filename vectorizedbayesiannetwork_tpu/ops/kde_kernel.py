@@ -106,6 +106,28 @@ def kde_log_prob(
     return _chunked(tile, m, x, parents)
 
 
+def _chunked_keyed(fn, key: jax.Array, m: int, *arrays):
+    """Like ``_chunked`` but hands each tile its own PRNG subkey.
+
+    Random bits are generated PER TILE inside the mapped body — never as a
+    full [M, N] array in HBM. (A [1M, 4k] Gumbel field is 16 GB; generating
+    it tile-by-tile bounds the footprint at [_CHUNK, N].)
+    """
+    if m <= _CHUNK:
+        return fn(key, *arrays)
+    n_chunks = -(-m // _CHUNK)
+    m_pad = n_chunks * _CHUNK
+    keys = jax.random.split(key, n_chunks)
+    padded = [
+        jnp.concatenate(
+            [a, jnp.zeros((m_pad - m,) + a.shape[1:], a.dtype)], axis=0
+        ).reshape(n_chunks, _CHUNK, *a.shape[1:])
+        for a in arrays
+    ]
+    out = jax.lax.map(lambda xs: fn(xs[0], *xs[1:]), (keys, *padded))
+    return out.reshape(m_pad, *out.shape[2:])[:m]
+
+
 def kde_sample_indices(
     key: jax.Array,
     parents: Optional[jax.Array],  # [M, Dp] or None
@@ -117,15 +139,21 @@ def kde_sample_indices(
     """Parent-softmax-weighted support pick via Gumbel-argmax -> [M] int32."""
     n = data_p.shape[0]
     if parents is None or data_p.shape[-1] == 0:
-        g = jax.random.gumbel(key, (m, n))
-        return jnp.argmax(log_mask[None, :] + g, axis=-1).astype(jnp.int32)
 
-    g = jax.random.gumbel(key, (m, n))
+        def tile_root(k):
+            rows = min(m, _CHUNK)
+            g = jax.random.gumbel(k, (rows, n))
+            return jnp.argmax(log_mask[None, :] + g, axis=-1).astype(
+                jnp.int32
+            )
 
-    def tile(pt, gt):
+        return _chunked_keyed(tile_root, key, m)
+
+    def tile(k, pt):
+        g = jax.random.gumbel(k, (pt.shape[0], n))
         scores = (
             _pairwise_kernel_logits(pt, data_p, p_scale) + log_mask[None, :]
         )
-        return jnp.argmax(scores + gt, axis=-1).astype(jnp.int32)
+        return jnp.argmax(scores + g, axis=-1).astype(jnp.int32)
 
-    return _chunked(tile, m, parents, g)
+    return _chunked_keyed(tile, key, m, parents)

