@@ -23,6 +23,18 @@ from ..defaults import TRAINING_KEYS
 _RESERVED = {"cpd", "fit", "update"}
 
 
+def _use_fit_grouping() -> bool:
+    # Default OFF: measured on TPU v5e (BENCH_NOTES.md), the vmapped
+    # multi-node trainer loses to the sequential path — the per-node scans
+    # pipeline asynchronously and share one cached compiled trainer, while
+    # vmap turns the minibatch gathers into slower batched gathers and the
+    # group compile is ~7x costlier. Kept as an opt-in (VBN_FIT_GROUP=
+    # always) for hosts where dispatch latency dominates.
+    import os
+
+    return os.environ.get("VBN_FIT_GROUP", "never").lower() == "always"
+
+
 def validate_node_conf(node: str, conf: Dict) -> None:
     if not isinstance(conf, dict):
         raise TypeError(f"nodes_cpds[{node!r}] must be a dict config")
@@ -81,6 +93,7 @@ class NodeWiseLearner:
                 nodes_cpds[node] = conf
             validate_node_conf(node, conf)
 
+        entries = []
         for node_idx, node in enumerate(topo):
             conf = nodes_cpds[node]
             parents = vbn.dag.parents(node)
@@ -90,8 +103,56 @@ class NodeWiseLearner:
             output_dim = x.shape[-1]
             cpd = build_cpd(node, conf, input_dim, output_dim, vbn.seed)
             key = fold(vbn.root_key, 1000 + node_idx)
-            params = cpd.init(key)
             fit_kwargs = coerce_numbers(dict(conf.get("fit") or {}), FIT_SCHEMA)
+            entries.append((node, conf, cpd, key, parent_arr, x, fit_kwargs))
+
+        # Fit-time grouping: same-signature NN nodes (same class / dims /
+        # static config / fit hyperparams) train as ONE vmapped scan — the
+        # fit-time analogue of the level-grouped inference sweep. Node fits
+        # are independent given the data, so grouping ignores topology.
+        grouped_done = set()
+        if _use_fit_grouping():
+            groups: Dict[tuple, list] = {}
+            for e in entries:
+                cpd = e[2]
+                if not hasattr(cpd, "fit_many"):
+                    continue
+                sig = (
+                    type(cpd),
+                    cpd._static_fields(),
+                    cpd.input_dim,
+                    cpd.output_dim,
+                    tuple(sorted((k, repr(v)) for k, v in e[6].items())),
+                )
+                groups.setdefault(sig, []).append(e)
+            for g in groups.values():
+                if len(g) < 2:
+                    continue
+                params_list = [e[2].init(e[3]) for e in g]
+                fitted = g[0][2].fit_many(
+                    params_list,
+                    [e[3] for e in g],
+                    [e[4] for e in g],
+                    [e[5] for e in g],
+                    **g[0][6],
+                )
+                if fitted is None:
+                    continue
+                for e, params in zip(g, fitted):
+                    node, conf, cpd = e[0], e[1], e[2]
+                    vbn.nodes[node] = cpd
+                    vbn.params[node] = params
+                    grouped_done.add(node)
+                if verbosity >= 2:
+                    print(
+                        f"[node_wise] fitted {len(g)} {g[0][1]['cpd']} "
+                        "nodes in one vmapped scan"
+                    )
+
+        for node, conf, cpd, key, parent_arr, x, fit_kwargs in entries:
+            if node in grouped_done:
+                continue
+            params = cpd.init(key)
             params = cpd.fit(params, key, parent_arr, x, **fit_kwargs)
             vbn.nodes[node] = cpd
             vbn.params[node] = params

@@ -23,7 +23,7 @@ from ._optim import adam_init, adam_step
 _TRAINER_CACHE: Dict[tuple, Callable] = {}
 
 
-def _build_trainer(
+def _make_run(
     nll_fn: Callable,
     n: int,
     epochs: int,
@@ -81,7 +81,25 @@ def _build_trainer(
         (net, opt), losses = jax.lax.scan(epoch_body, (net, opt), ekeys)
         return net, opt, losses
 
-    return jax.jit(run)
+    return run
+
+
+def _build_trainer(*args):
+    return jax.jit(_make_run(*args))
+
+
+def _build_trainer_many(*args):
+    """G same-signature nodes trained as ONE vmapped scan program.
+
+    The per-node (epochs x minibatch) loops run lockstep: G small GEMMs per
+    step become one batched GEMM on the MXU, and G sequential scan programs
+    become a single dispatch — the fit-time analogue of the level-grouped
+    inference sweep.
+    """
+    run = _make_run(*args)
+    return jax.jit(
+        jax.vmap(run, in_axes=(0, 0, 0, 0, 0, None))
+    )
 
 
 def fit_minibatch_nll(
@@ -150,3 +168,63 @@ def fit_minibatch_nll(
         _TRAINER_CACHE[sig] = trainer
     net, opt, _losses = trainer(net, opt, key, parents, x, aux)
     return net, opt
+
+
+def fit_minibatch_nll_many(
+    cpd,
+    nll_name: str,
+    nets,  # pytree stacked on leading axis G
+    keys: jax.Array,  # [G] keys (stacked)
+    parents: jax.Array,  # [G, N, Din]
+    x: jax.Array,  # [G, N, Dout]
+    *,
+    epochs: int,
+    batch_size: int,
+    lr: float,
+    weight_decay: float = 0.0,
+    max_grad_norm: Optional[float] = None,
+) -> Tuple[Dict, Dict]:
+    """Train G same-signature nodes in one vmapped program.
+
+    Returns (nets, opts) stacked on axis 0. Optimizer state starts fresh
+    (callers use this for initial fits, where every node's opt is None).
+    """
+    g = int(x.shape[0])
+    n = int(x.shape[1])
+    opts = {
+        "m": jax.tree_util.tree_map(jnp.zeros_like, nets),
+        "v": jax.tree_util.tree_map(jnp.zeros_like, nets),
+        "step": jnp.zeros((g,), jnp.float32),
+    }
+    epochs = max(1, int(epochs))
+    sig = (
+        "many",
+        g,
+        type(cpd).__name__,
+        cpd.static_signature(),
+        nll_name,
+        n,
+        int(x.shape[2]),
+        int(parents.shape[2]),
+        epochs,
+        int(batch_size),
+        float(lr),
+        float(weight_decay),
+        None if max_grad_norm is None else float(max_grad_norm),
+    )
+    trainer = _TRAINER_CACHE.get(sig)
+    if trainer is None:
+        trainer = _build_trainer_many(
+            getattr(cpd, nll_name),
+            n,
+            epochs,
+            int(batch_size),
+            float(lr),
+            float(weight_decay),
+            max_grad_norm,
+            False,
+            None,
+        )
+        _TRAINER_CACHE[sig] = trainer
+    nets, opts, _losses = trainer(nets, opts, keys, parents, x, None)
+    return nets, opts

@@ -24,7 +24,15 @@ from ._mlp import (
     mlp_init,
     resolve_compute_dtype,
 )
-from ._train import fit_minibatch_nll
+from ._train import fit_minibatch_nll, fit_minibatch_nll_many
+
+
+def _unstack_opt(opts, i):
+    return {
+        "m": jax.tree_util.tree_map(lambda a: a[i], opts["m"]),
+        "v": jax.tree_util.tree_map(lambda a: a[i], opts["v"]),
+        "step": opts["step"][i],
+    }
 
 
 @register_cpd("gaussian_nn")
@@ -182,6 +190,67 @@ class GaussianNNCPD(BaseCPD):
             steps=epochs, batch_size=batch_size, lr=lr,
             weight_decay=weight_decay, max_grad_norm=max_grad_norm,
         )
+
+    def fit_many(
+        self,
+        params_list,
+        keys,
+        parents_list,
+        x_list,
+        *,
+        epochs: int = 1,
+        lr: float = 1e-3,
+        batch_size: int = 128,
+        weight_decay: float = 0.0,
+        max_grad_norm: Optional[float] = None,
+        **_kwargs,
+    ):
+        """Batched initial fit of G same-signature nodes as ONE vmapped scan.
+
+        Called by node_wise's fit-time grouping. Returns a list of fitted
+        params (same order), or None to decline (existing optimizer state
+        means this is an update, which stays sequential).
+        """
+        if any(p.get("opt") is not None for p in params_list):
+            return None
+        xs, pns, stats_list = [], [], []
+        for parents, x in zip(parents_list, x_list):
+            x = jnp.asarray(x, jnp.float32)
+            if x.ndim == 1:
+                x = x[:, None]
+            if parents is not None:
+                parents = jnp.asarray(parents, jnp.float32)
+            stats = self._standardization(parents, x)
+            stats_list.append(stats)
+            xs.append((x - stats["mean_y"]) / stats["std_y"])
+            if self.input_dim == 0 or parents is None:
+                pns.append(jnp.zeros((x.shape[0], 0), jnp.float32))
+            else:
+                pns.append((parents - stats["mean_x"]) / stats["std_x"])
+        nets = jax.tree_util.tree_map(
+            lambda *ls: jnp.stack(ls), *[p["net"] for p in params_list]
+        )
+        nets, opts = fit_minibatch_nll_many(
+            self,
+            "_nll",
+            nets,
+            jnp.stack(keys),
+            jnp.stack(pns),
+            jnp.stack(xs),
+            epochs=epochs,
+            batch_size=batch_size,
+            lr=lr,
+            weight_decay=weight_decay,
+            max_grad_norm=max_grad_norm,
+        )
+        return [
+            {
+                "net": jax.tree_util.tree_map(lambda a, _i=i: a[_i], nets),
+                "stats": stats_list[i],
+                "opt": _unstack_opt(opts, i),
+            }
+            for i in range(len(params_list))
+        ]
 
     def update(
         self,

@@ -24,7 +24,7 @@ from ._mlp import (
     mlp_init,
     resolve_compute_dtype,
 )
-from ._train import fit_minibatch_nll
+from ._train import fit_minibatch_nll, fit_minibatch_nll_many
 
 
 @register_cpd("mdn")
@@ -139,6 +139,42 @@ class MDNCPD(BaseCPD):
                            batch_size=batch_size, lr=lr,
                            weight_decay=weight_decay,
                            max_grad_norm=max_grad_norm)
+
+    def fit_many(self, params_list, keys, parents_list, x_list, *,
+                 epochs=1, lr=1e-3, batch_size=128, weight_decay=0.0,
+                 max_grad_norm=None, **_kw):
+        """Batched initial fit of G same-signature MDN nodes (one vmapped
+        scan; see gaussian_nn.fit_many). Returns params list or None."""
+        from .gaussian_nn import _unstack_opt
+
+        if any(p.get("opt") is not None for p in params_list):
+            return None
+        n = jnp.asarray(x_list[0], jnp.float32).shape[0]
+        xs = [
+            jnp.asarray(x, jnp.float32).reshape(n, self.output_dim)
+            for x in x_list
+        ]
+        pns = [
+            jnp.zeros((n, 0), jnp.float32)
+            if (self.input_dim == 0 or p is None)
+            else jnp.asarray(p, jnp.float32)
+            for p in parents_list
+        ]
+        nets = jax.tree_util.tree_map(
+            lambda *ls: jnp.stack(ls), *[p["net"] for p in params_list]
+        )
+        nets, opts = fit_minibatch_nll_many(
+            self, "_nll", nets, jnp.stack(keys), jnp.stack(pns),
+            jnp.stack(xs), epochs=epochs, batch_size=batch_size, lr=lr,
+            weight_decay=weight_decay, max_grad_norm=max_grad_norm,
+        )
+        return [
+            {
+                "net": jax.tree_util.tree_map(lambda a, _i=i: a[_i], nets),
+                "opt": _unstack_opt(opts, i),
+            }
+            for i in range(len(params_list))
+        ]
 
     def update(self, params, key, parents, x, *, lr=1e-3, n_steps=1,
                batch_size=128, weight_decay=0.0, max_grad_norm=None,
