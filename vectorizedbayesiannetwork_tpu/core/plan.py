@@ -16,9 +16,10 @@ from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .base import Query
-from .utils import ensure_2d
+from .utils import ensure_2d_np
 
 
 @dataclass(frozen=True)
@@ -121,29 +122,37 @@ def pack_fixed_values(
     batch_size: int,
     *,
     clamp_obs: bool = False,
-) -> jax.Array:
+) -> np.ndarray:
     """Pack evidence/do values into one [B, total_dim] array (zeros elsewhere).
 
     The sweep reads slices of this array for nodes whose evidence/do mask is
     set; untouched slices are never read. Packing into a single array keeps
     the jitted sweep's signature fixed regardless of which nodes are observed.
+
+    Built HOST-SIDE (numpy): the packed array crosses to the device once at
+    the jit call boundary instead of as a chain of eager device ops — on the
+    serving path this is the difference between ~0.05 ms and ~0.8 ms per
+    query batch (BENCH_NOTES.md "host-sync elimination").
     """
     node_to_idx = plan.node_to_idx()
-    cols = [
-        jnp.zeros((batch_size, d), dtype=jnp.float32) for d in plan.node_dims
-    ]
+    out = np.zeros((batch_size, plan.total_dim), dtype=np.float32)
     for mapping, do_clamp in ((query.do, False), (query.evidence, clamp_obs)):
         for node, value in mapping.items():
             idx = node_to_idx[node]
-            v = ensure_2d(value)
+            v = ensure_2d_np(value)
             if v.shape[0] == 1 and batch_size > 1:
-                v = jnp.broadcast_to(v, (batch_size, v.shape[1]))
+                v = np.broadcast_to(v, (batch_size, v.shape[1]))
             if v.shape != (batch_size, plan.node_dims[idx]):
                 raise ValueError(
                     f"Evidence/do for {node!r} has shape {v.shape}; expected "
                     f"({batch_size}, {plan.node_dims[idx]})"
                 )
             if do_clamp:
-                v = clamp_evidence(v)
-            cols[idx] = v
-    return jnp.concatenate(cols, axis=-1)
+                v = np.clip(
+                    np.nan_to_num(v, nan=0.0, posinf=_CLAMP, neginf=-_CLAMP),
+                    -_CLAMP,
+                    _CLAMP,
+                )
+            off = plan.node_offsets[idx]
+            out[:, off : off + v.shape[1]] = v
+    return out

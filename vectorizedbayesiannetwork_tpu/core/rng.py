@@ -42,6 +42,17 @@ class KeyStream:
         self._counter += 1
         return key
 
+    def next_spec(self):
+        """(root_key, counter) for in-graph folding — same key bits as
+        ``next()``, but the ``fold_in`` happens inside the consumer's jitted
+        program, so advancing the stream costs zero eager device ops (the
+        counter crosses as a 4-byte jit argument)."""
+        import numpy as np
+
+        counter = self._counter
+        self._counter += 1
+        return (self._root, np.uint32(counter))
+
     def state(self) -> int:
         return self._counter
 

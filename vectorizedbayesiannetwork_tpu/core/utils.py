@@ -46,6 +46,23 @@ def ensure_2d(x, dtype=jnp.float32) -> jax.Array:
     raise ValueError(f"Expected scalar/1D/2D value, got shape {arr.shape}")
 
 
+def ensure_2d_np(x, dtype=np.float32) -> np.ndarray:
+    """Host-side ``ensure_2d``: coerce to a numpy [B, D] array.
+
+    Keeps user-facing query values on the host so the serving path pays one
+    host→device transfer at the jit boundary instead of eager device ops per
+    evidence node (measured ~1 ms/call through the TPU transfer path).
+    """
+    arr = np.asarray(x, dtype=dtype)
+    if arr.ndim == 0:
+        return arr.reshape(1, 1)
+    if arr.ndim == 1:
+        return arr.reshape(-1, 1)
+    if arr.ndim == 2:
+        return arr
+    raise ValueError(f"Expected scalar/1D/2D value, got shape {arr.shape}")
+
+
 def broadcast_samples(x: jax.Array, n_samples: int) -> jax.Array:
     """[B, D] -> [B, S, D] by broadcast along a new sample axis."""
     if x.ndim != 2:
@@ -94,7 +111,9 @@ def infer_batch_size(*mappings: Mapping[str, object]) -> int:
         if not mapping:
             continue
         for name, value in mapping.items():
-            arr = ensure_2d(value)
+            # Shape-only inspection: never move values to the device here
+            # (this runs on every public query call).
+            arr = ensure_2d_np(value)
             if b is None:
                 b = int(arr.shape[0])
             elif int(arr.shape[0]) != b:

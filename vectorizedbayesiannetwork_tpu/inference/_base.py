@@ -94,10 +94,14 @@ class CompiledMethod:
             mesh = getattr(vbn, "_mesh", None)
             idx = tuple(param_idx)
 
-            def fused_fn(uparams, keys, fixed_list, _fns=fns, _mesh=mesh):
+            def fused_fn(uparams, key_specs, fixed_list, _fns=fns, _mesh=mesh):
                 with active_mesh(_mesh):
                     return tuple(
-                        f(uparams[idx[i]], keys[i], fixed_list[i])
+                        f(
+                            uparams[idx[i]],
+                            jax.random.fold_in(*key_specs[i]),
+                            fixed_list[i],
+                        )
                         for i, f in enumerate(_fns)
                     )
 
@@ -105,14 +109,14 @@ class CompiledMethod:
             self._fused_cache[cache_key] = fused
         outs = fused(
             tuple(unique_params),
-            tuple(vbn.next_key() for _ in progs),
+            tuple(vbn.next_key_spec() for _ in progs),
             tuple(p.fixed for p in progs),
         )
         return [p.post(o) for p, o in zip(progs, outs)]
 
     def _run_program(self, vbn, prog: Program):
         fn = self._compiled(vbn, prog.plan, prog.tag, lambda: prog.fn)
-        outs = fn(prog.params, vbn.next_key(), prog.fixed)
+        outs = fn(prog.params, vbn.next_key_spec(), prog.fixed)
         return prog.post(outs)
 
     def _plan_and_batch(self, vbn, query: Query):
@@ -138,7 +142,15 @@ class CompiledMethod:
 
             def with_mesh(*args, _inner=inner, _mesh=mesh):
                 # Active-mesh context at TRACE time so sweep kernels place
-                # their sharding constraints for this vbn's mesh.
+                # their sharding constraints for this vbn's mesh. Stochastic
+                # programs are called as (params, (root, counter), fixed);
+                # the key is folded HERE, in-graph, so advancing the key
+                # stream costs no eager device ops on the host (same bits as
+                # KeyStream.next()). Keyless programs (exact methods) call
+                # with (params, fixed) and skip the fold.
+                if len(args) == 3:
+                    params, key_spec, fixed = args
+                    args = (params, jax.random.fold_in(*key_spec), fixed)
                 with active_mesh(_mesh):
                     return _inner(*args)
 

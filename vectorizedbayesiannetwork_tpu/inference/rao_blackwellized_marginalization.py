@@ -146,7 +146,7 @@ class RaoBlackwellizedMarginalization(CompiledMethod):
                 return fn
 
             fn = self._compiled(vbn, plan, ("rb_cat", s_part), build)
-            return fn(self._params_tuple(vbn, plan), vbn.next_key(), fixed)
+            return fn(self._params_tuple(vbn, plan), vbn.next_key_spec(), fixed)
 
         def build():
             def fn(params_tuple, key, fixed_vals):
@@ -199,4 +199,4 @@ class RaoBlackwellizedMarginalization(CompiledMethod):
             return fn
 
         fn = self._compiled(vbn, plan, ("rb_gauss", s_part, s_out), build)
-        return fn(self._params_tuple(vbn, plan), vbn.next_key(), fixed)
+        return fn(self._params_tuple(vbn, plan), vbn.next_key_spec(), fixed)

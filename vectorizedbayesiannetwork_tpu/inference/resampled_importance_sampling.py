@@ -17,6 +17,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.base import Query
 from ..core.plan import pack_fixed_values
@@ -43,7 +44,14 @@ class ResampledImportanceSampling(CompiledMethod):
         self.resample = bool(resample)
         self.clamp_obs = bool(clamp_obs)
         self._last_ess: Optional[jax.Array] = None
-        self._last_resampled = False
+        self._resampled_dev = None  # device bool from the last call
+
+    @property
+    def _last_resampled(self) -> bool:
+        """Whether the last call resampled any row (lazy device sync)."""
+        if self._resampled_dev is None:
+            return False
+        return bool(np.asarray(self._resampled_dev))
 
     def make_program(self, vbn, query: Query, **kwargs):
         s = int(kwargs.get("n_samples", self.n_samples))
@@ -127,7 +135,7 @@ class ResampledImportanceSampling(CompiledMethod):
         def post(outs):
             weights, samples, ess, resampled = outs
             self._last_ess = ess
-            self._last_resampled = bool(resampled)
+            self._resampled_dev = resampled
             return weights, samples
 
         return Program(

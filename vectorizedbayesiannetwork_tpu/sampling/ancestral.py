@@ -36,7 +36,7 @@ class AncestralSampler(CompiledMethod):
             return fn
 
         fn = self._compiled(vbn, plan, ("ancestral", s), build)
-        packed = fn(self._params_tuple(vbn, plan), vbn.next_key(), fixed)
+        packed = fn(self._params_tuple(vbn, plan), vbn.next_key_spec(), fixed)
         return plan, packed
 
     def sample(self, vbn, query: Query, n_samples: int = None, **kwargs):

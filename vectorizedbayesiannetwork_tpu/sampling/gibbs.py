@@ -151,4 +151,4 @@ class GibbsSampler(CompiledMethod):
         fn = self._compiled(
             vbn, plan, ("gibbs", s, burn_in, thin, chains), build
         )
-        return fn(self._params_tuple(vbn, plan), vbn.next_key(), fixed)
+        return fn(self._params_tuple(vbn, plan), vbn.next_key_spec(), fixed)

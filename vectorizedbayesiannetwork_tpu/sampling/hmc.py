@@ -276,4 +276,4 @@ class HMCSampler(CompiledMethod):
             + self._cache_extras(kwargs),
             build,
         )
-        return fn(self._params_tuple(vbn, plan), vbn.next_key(), fixed)
+        return fn(self._params_tuple(vbn, plan), vbn.next_key_spec(), fixed)

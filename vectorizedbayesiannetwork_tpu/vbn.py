@@ -39,7 +39,7 @@ from .core.registry import (
 from .core.rng import KeyStream
 from .core.utils import (
     df_to_array_dict,
-    ensure_2d,
+    ensure_2d_np,
     infer_batch_size,
     resolve_verbosity,
     to_plain_dict,
@@ -87,6 +87,17 @@ def _load_configs() -> ConfigNamespace:
                     )
         categories[category] = ConfigNamespace(**items)
     return ConfigNamespace(**categories)
+
+
+def _detach(x):
+    """Public-output detachment (parity: ``vbn/vbn.py:481`` .detach()).
+
+    Concrete jax arrays carry no autograd graph, so ``stop_gradient`` is only
+    meaningful when a caller traces through the public API; applying it
+    unconditionally costs ~60 µs/call of eager primitive binding on the
+    serving path, so it is applied to tracers only.
+    """
+    return jax.lax.stop_gradient(x) if isinstance(x, jax.core.Tracer) else x
 
 
 def _serialize_nodes_cpds(nodes_cpds: Optional[Dict]) -> Dict[str, Dict]:
@@ -175,6 +186,10 @@ class VBN:
 
     def next_key(self) -> jax.Array:
         return self._keys.next()
+
+    def next_key_spec(self):
+        """(root, counter) pair folded in-graph by compiled programs."""
+        return self._keys.next_spec()
 
     def cpd_spec(self, node: str):
         if node not in self.nodes:
@@ -349,7 +364,7 @@ class VBN:
             )
         q = self._normalize_query(query)
         pdf, samples = self._inference.infer_posterior(self, q, **kwargs)
-        return jax.lax.stop_gradient(pdf), jax.lax.stop_gradient(samples)
+        return _detach(pdf), _detach(samples)
 
     def infer_posterior_many(self, queries, **kwargs):
         """Answer several posterior queries in ONE device dispatch.
@@ -376,7 +391,7 @@ class VBN:
                 self._inference.infer_posterior(self, q, **kwargs) for q in qs
             ]
         return [
-            (jax.lax.stop_gradient(p), jax.lax.stop_gradient(s))
+            (_detach(p), _detach(s))
             for p, s in results
         ]
 
@@ -462,8 +477,8 @@ class VBN:
         q = self._normalize_query(query)
         samples = self._sampling.sample(self, q, n_samples=n_samples, **kwargs)
         if isinstance(samples, dict):
-            return {k: jax.lax.stop_gradient(v) for k, v in samples.items()}
-        return jax.lax.stop_gradient(samples)
+            return {k: _detach(v) for k, v in samples.items()}
+        return _detach(samples)
 
     def _normalize_query(self, query) -> Query:
         if isinstance(query, Query):
@@ -478,8 +493,10 @@ class VBN:
             do_src = query.get("do") or {}
         else:
             raise TypeError("query must be a dict or Query")
-        evidence = {k: ensure_2d(v) for k, v in evidence_src.items()}
-        do = {k: ensure_2d(v) for k, v in do_src.items()}
+        # Host-side (numpy) coercion: query values cross to the device once,
+        # at the jit call boundary, not as per-node eager transfers.
+        evidence = {k: ensure_2d_np(v) for k, v in evidence_src.items()}
+        do = {k: ensure_2d_np(v) for k, v in do_src.items()}
         nodes = set(self.dag.nodes())
         if target not in nodes:
             raise ValueError(f"Unknown target node {target!r}.")
