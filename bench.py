@@ -25,9 +25,25 @@ S = 1 << 20  # 1M particles
 REPS = 20
 
 
-def bench_tpu() -> float:
+def _sync(out) -> None:
+    """Force REAL device completion: fetch one element of one output leaf.
+
+    ``jax.block_until_ready`` through the axon TPU tunnel returns after the
+    dispatch ACK, not after execution (measured 0.25 ms "ready" on a 65 ms
+    kernel) — fetching a scalar waits for everything submitted before it,
+    since the device executes programs in order.
+    """
     import jax
 
+    leaf = [
+        x
+        for x in jax.tree_util.tree_leaves(out)
+        if hasattr(x, "dtype") and hasattr(x, "shape")
+    ][0]
+    np.asarray(leaf[(0,) * leaf.ndim] if leaf.ndim else leaf)
+
+
+def bench_tpu() -> float:
     from __graft_entry__ import _flagship
 
     vbn = _flagship(n=4096)
@@ -37,13 +53,13 @@ def bench_tpu() -> float:
         "x1": np.linspace(1, -1, B).reshape(B, 1).astype(np.float32),
     }
     query = {"target": "x2", "evidence": ev}
-    # warmup / compile
-    pdf, samples = vbn.infer_posterior(query)
-    jax.block_until_ready((pdf, samples))
+    _sync(vbn.infer_posterior(query))  # compile
+    _sync(vbn.infer_posterior(query))  # warm
     t0 = time.perf_counter()
+    out = None
     for _ in range(REPS):
-        pdf, samples = vbn.infer_posterior(query)
-    jax.block_until_ready((pdf, samples))
+        out = vbn.infer_posterior(query)
+    _sync(out)
     dt = time.perf_counter() - t0
     return (B * REPS) / dt
 

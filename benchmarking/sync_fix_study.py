@@ -11,16 +11,7 @@ import time
 import numpy as np
 
 
-def _measure(fn, reps=20):
-    import jax
-
-    jax.block_until_ready(fn())
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(reps):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+from benchmarking._timing import measure as _measure  # noqa: E402
 
 
 def main() -> None:

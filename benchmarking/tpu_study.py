@@ -20,20 +20,7 @@ import time
 import numpy as np
 
 
-def _block(x):
-    import jax
-
-    jax.block_until_ready(x)
-    return x
-
-
-def _measure(fn, reps=5):
-    _block(fn())  # compile
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn()
-    _block(out)
-    return (time.perf_counter() - t0) / reps
+from benchmarking._timing import measure as _measure  # noqa: E402
 
 
 def main() -> None:

@@ -112,6 +112,36 @@ def test_public_outputs_have_no_grad(vbn):
     assert np.isfinite(float(g))
 
 
+def test_systematic_resample_matches_searchsorted():
+    # The search-free histogram form == the textbook searchsorted form,
+    # given the same key (same u0 draw).
+    from vectorizedbayesiannetwork_tpu.ops.resample import (
+        systematic_resample_indices,
+    )
+
+    g = np.random.default_rng(0)
+    b, s = 3, 257
+    w = g.random((b, s)).astype(np.float32) ** 4  # spiky weights
+    w /= w.sum(axis=1, keepdims=True)
+    w = jnp.asarray(w)
+    key = jax.random.PRNGKey(7)
+    idx = np.asarray(systematic_resample_indices(key, w))
+
+    u0 = np.asarray(jax.random.uniform(key, (b, 1)))
+    positions = (u0 + np.arange(s)[None, :]) / s
+    cum = np.cumsum(np.asarray(w), axis=1)
+    cum = cum / cum[:, -1:]
+    ref = np.stack(
+        [np.searchsorted(cum[i], positions[i], side="left") for i in range(b)]
+    ).clip(0, s - 1)
+    np.testing.assert_array_equal(idx, ref)
+    # ancestor counts are within 1 of S*w (the systematic guarantee)
+    counts = np.stack([np.bincount(idx[i], minlength=s) for i in range(b)])
+    np.testing.assert_array_less(
+        np.abs(counts - s * np.asarray(w)), 1.0 + 1e-6
+    )
+
+
 def test_kde_pallas_interpret_matches_matmul():
     # The fused Pallas kernel in interpreter mode == the matmul path.
     from vectorizedbayesiannetwork_tpu.ops.kde_kernel import (
@@ -142,3 +172,144 @@ def test_kde_pallas_interpret_matches_matmul():
     # bf16x3 cross terms: ~5e-4 absolute in log space (vs ~0.1 for the
     # single bf16 pass the decomposition replaces)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-3)
+
+
+def test_kde_pallas_direct_path_unaligned_support():
+    # Small-D direct branch with N not a lane multiple (exercises the
+    # -inf mask padding) — exact fp32, so tight tolerance.
+    from vectorizedbayesiannetwork_tpu.ops.kde_pallas import (
+        kde_log_prob_fused,
+    )
+
+    g = np.random.default_rng(1)
+    n, m = 200, 97
+    data_p = jnp.asarray(g.normal(size=(n, 3)).astype(np.float32))
+    data_x = jnp.asarray(g.normal(size=(n, 2)).astype(np.float32))
+    log_mask = jnp.where(jnp.arange(n) < 150, 0.0, -1e30).astype(jnp.float32)
+    qp = jnp.asarray(g.normal(size=(m, 3)).astype(np.float32))
+    qx = jnp.asarray(g.normal(size=(m, 2)).astype(np.float32))
+    ys, ps = 0.5, 0.3
+    fused = kde_log_prob_fused(
+        qx, qp, data_x, data_p, log_mask, ys, ps, interpret=True
+    )
+    from vectorizedbayesiannetwork_tpu.ops.kde_kernel import (
+        _pairwise_kernel_logits,
+    )
+
+    ky = _pairwise_kernel_logits(qx, data_x, ys)
+    kp = _pairwise_kernel_logits(qp, data_p, ps) + log_mask[None, :]
+    ref = jax.scipy.special.logsumexp(
+        kp + ky, axis=1
+    ) - jax.scipy.special.logsumexp(kp, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), atol=1e-4, rtol=1e-5
+    )
+
+
+def test_kde_pallas_root_kernel():
+    from vectorizedbayesiannetwork_tpu.ops.kde_pallas import (
+        kde_log_prob_root_fused,
+    )
+    from vectorizedbayesiannetwork_tpu.ops.kde_kernel import (
+        _pairwise_kernel_logits,
+    )
+
+    g = np.random.default_rng(3)
+    n, m = 200, 77
+    data_x = jnp.asarray(g.normal(size=(n, 2)).astype(np.float32))
+    log_mask = jnp.where(jnp.arange(n) < 160, 0.0, -1e30).astype(jnp.float32)
+    qx = jnp.asarray(g.normal(size=(m, 2)).astype(np.float32))
+    ys = 0.4
+    fused = kde_log_prob_root_fused(qx, data_x, log_mask, ys, interpret=True)
+    ky = _pairwise_kernel_logits(qx, data_x, ys) + log_mask[None, :]
+    ref = jax.scipy.special.logsumexp(ky, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), atol=1e-4, rtol=1e-5
+    )
+
+
+def test_kde_pallas_sample_pick_kernel():
+    from vectorizedbayesiannetwork_tpu.ops.kde_pallas import (
+        kde_sample_picked_fused,
+    )
+
+    g = np.random.default_rng(4)
+    n, m = 160, 3000
+    data_p = jnp.asarray(g.normal(size=(n, 1)).astype(np.float32))
+    data_x = jnp.asarray(g.normal(size=(n, 2)).astype(np.float32))
+    key = jax.random.PRNGKey(11)
+
+    gum = jax.random.gumbel(key, (m, n), jnp.float32)
+
+    # 1. single valid support point -> every pick is that point's value
+    mask_one = jnp.where(jnp.arange(n) == 7, 0.0, -1e30).astype(jnp.float32)
+    picked = kde_sample_picked_fused(
+        key, None, data_p, data_x, mask_one, 0.5, m, interpret=True,
+        gumbel=gum,
+    )
+    assert picked.shape == (m, 2)
+    np.testing.assert_allclose(
+        np.asarray(picked),
+        np.broadcast_to(np.asarray(data_x)[7], (m, 2)),
+        atol=1e-6,
+    )
+
+    # 2. tight parent kernel -> picks the support point nearest each parent
+    q = jnp.asarray(g.normal(size=(m, 1)).astype(np.float32))
+    picked = kde_sample_picked_fused(
+        key, q, data_p, data_x, jnp.zeros((n,), jnp.float32),
+        1e-4, m, interpret=True, gumbel=gum,
+    )
+    nearest = np.argmin(
+        np.abs(np.asarray(q) - np.asarray(data_p)[:, 0][None, :]), axis=1
+    )
+    frac = np.mean(
+        np.all(
+            np.isclose(
+                np.asarray(picked), np.asarray(data_x)[nearest], atol=1e-5
+            ),
+            axis=1,
+        )
+    )
+    assert frac > 0.99, frac
+
+    # 3. uniform mask, no parents: pick == argmax of the supplied Gumbel
+    # field, i.e. exact parity with the XLA gumbel-argmax path
+    picked = kde_sample_picked_fused(
+        key, None, data_p, data_x, jnp.zeros((n,), jnp.float32),
+        0.5, m, interpret=True, gumbel=gum,
+    )
+    idx_ref = np.argmax(np.asarray(gum), axis=1)
+    np.testing.assert_allclose(
+        np.asarray(picked), np.asarray(data_x)[idx_ref], atol=1e-5
+    )
+
+
+def test_kde_pallas_gemm_path_large_d():
+    # D > 32 takes the MXU bf16x3 branch (feature dims padded to 128).
+    from vectorizedbayesiannetwork_tpu.ops.kde_pallas import (
+        _DIRECT_D,
+        kde_log_prob_fused,
+    )
+
+    g = np.random.default_rng(2)
+    n, m, d = 128, 64, _DIRECT_D + 4
+    data_p = jnp.asarray(g.normal(size=(n, d)).astype(np.float32))
+    data_x = jnp.asarray(g.normal(size=(n, 1)).astype(np.float32))
+    log_mask = jnp.zeros((n,), jnp.float32)
+    qp = jnp.asarray(g.normal(size=(m, d)).astype(np.float32))
+    qx = jnp.asarray(g.normal(size=(m, 1)).astype(np.float32))
+    ys, ps = 0.6, 0.8
+    fused = kde_log_prob_fused(
+        qx, qp, data_x, data_p, log_mask, ys, ps, interpret=True
+    )
+    from vectorizedbayesiannetwork_tpu.ops.kde_kernel import (
+        _pairwise_kernel_logits,
+    )
+
+    ky = _pairwise_kernel_logits(qx, data_x, ys)
+    kp = _pairwise_kernel_logits(qp, data_p, ps)
+    ref = jax.scipy.special.logsumexp(
+        kp + ky, axis=1
+    ) - jax.scipy.special.logsumexp(kp, axis=1)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=5e-3)

@@ -174,9 +174,13 @@ def sweep_trace(
                 latent_groups.setdefault(_group_sig(cpds[idx]), []).append(idx)
 
         for g in latent_groups.values():
+            # CPDs whose sample path runs a Pallas kernel with in-kernel
+            # PRNG (KDE) opt out of the vmapped group: vmap would alias the
+            # per-tile seeding (and SMEM scalar blocks don't batch).
+            groupable = getattr(cpds[g[0]], "sample_groupable", True)
             stacked = (
                 _stack_eval_params(cpds, params_tuple, g)
-                if grouping and len(g) > 1
+                if grouping and groupable and len(g) > 1
                 else None
             )
             if stacked is None:

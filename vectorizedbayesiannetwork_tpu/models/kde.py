@@ -28,6 +28,10 @@ from ..core.registry import register_cpd
 
 @register_cpd("kde")
 class KDECPD(BaseCPD):
+    # sample path runs a Pallas kernel with in-kernel PRNG seeding — not
+    # safe under the level-grouping vmap (see inference/_sweep.py)
+    sample_groupable = False
+
     def __init__(
         self,
         input_dim: int,
@@ -150,18 +154,37 @@ class KDECPD(BaseCPD):
 
     def _sample_flat(self, params, key, parents, m):
         from ..ops.kde_kernel import kde_sample_indices
+        from ..ops.kde_pallas import (
+            _DIRECT_D,
+            kde_sample_picked_fused,
+            pallas_available,
+        )
 
         k_pick, k_noise = jax.random.split(key)
         log_mask = jnp.log(jnp.maximum(params["valid"], 1e-38))
-        idx = kde_sample_indices(
-            k_pick,
-            parents if self.input_dim else None,
-            params["data_p"],
-            log_mask,
-            self._p_scale(),
-            m,
-        )
-        selected = params["data_x"][idx]
         bw = max(self.bandwidth, 1e-3)
+        if pallas_available() and self.input_dim <= _DIRECT_D:
+            # Fused pick: scores + Gumbel + argmax + one-hot GEMM in VMEM —
+            # avoids the random HBM gather of picked support rows
+            # (BENCH_NOTES.md: the gather dominates sampling at M ~ 500k).
+            selected = kde_sample_picked_fused(
+                k_pick,
+                parents if self.input_dim else None,
+                params["data_p"],
+                params["data_x"],
+                log_mask,
+                self._p_scale(),
+                m,
+            )
+        else:
+            idx = kde_sample_indices(
+                k_pick,
+                parents if self.input_dim else None,
+                params["data_p"],
+                log_mask,
+                self._p_scale(),
+                m,
+            )
+            selected = params["data_x"][idx]
         noise = jax.random.normal(k_noise, selected.shape, selected.dtype)
         return selected + noise * (bw + self.min_scale)

@@ -77,6 +77,17 @@ def kde_log_prob(
     if parents is None or data_p.shape[-1] == 0:
         n_eff = jnp.maximum(jnp.sum(jnp.exp(log_mask)), 1.0)
 
+        from .kde_pallas import (
+            _DIRECT_D,
+            kde_log_prob_root_fused,
+            pallas_available,
+        )
+
+        if pallas_available() and x.shape[-1] <= _DIRECT_D:
+            return kde_log_prob_root_fused(
+                x, data_x, log_mask, y_scale
+            ) - jnp.log(n_eff)
+
         def tile(xt):
             log_ky = _pairwise_kernel_logits(xt, data_x, y_scale)
             return jax.scipy.special.logsumexp(
