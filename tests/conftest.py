@@ -20,6 +20,19 @@ os.environ.setdefault("VBN_SKIP_PLOTS", "1")
 import numpy as np
 import pytest
 
+# The axon sitecustomize hook imports jax and registers the TPU plugin at
+# interpreter start — BEFORE this conftest runs — so the env vars above are
+# too late for a bare ``pytest`` invocation (they do cover ``runtests.sh``,
+# which strips the hook). Force the CPU backend through the config API,
+# which works until the first backend is initialized.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.local_device_count() == 8, (
+    "tests require the virtual 8-device CPU mesh; got "
+    f"{jax.devices()}"
+)
+
 
 @pytest.fixture
 def rng():

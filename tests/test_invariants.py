@@ -266,7 +266,9 @@ def test_kde_pallas_sample_pick_kernel():
     frac = np.mean(
         np.all(
             np.isclose(
-                np.asarray(picked), np.asarray(data_x)[nearest], atol=1e-5
+                # atol covers MXU f32 (bf16x3) rounding when the suite
+                # runs on a real TPU instead of the CPU mesh
+                np.asarray(picked), np.asarray(data_x)[nearest], atol=1e-4
             ),
             axis=1,
         )
@@ -281,7 +283,7 @@ def test_kde_pallas_sample_pick_kernel():
     )
     idx_ref = np.argmax(np.asarray(gum), axis=1)
     np.testing.assert_allclose(
-        np.asarray(picked), np.asarray(data_x)[idx_ref], atol=1e-5
+        np.asarray(picked), np.asarray(data_x)[idx_ref], atol=1e-4
     )
 
 

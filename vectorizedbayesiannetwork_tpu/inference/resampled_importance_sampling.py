@@ -91,6 +91,25 @@ class ResampledImportanceSampling(CompiledMethod):
             else float(ess_threshold)
         )
 
+        def live_after(idx: int) -> list:
+            """Nodes whose particle values are still read after node
+            ``idx``'s resampling event: parents of an unprocessed node or
+            the target itself. Fixed nodes are broadcast over the
+            particle axis, so resampling is the identity on them — skip.
+            Everything else is dead and XLA would drop its gather anyway;
+            not emitting it keeps the HLO small."""
+            out = []
+            for j in range(idx + 1):
+                if plan.is_fixed(j):
+                    continue
+                needed = j == t or any(
+                    j in plan.parent_idx[k]
+                    for k in range(idx + 1, plan.n_nodes)
+                )
+                if needed:
+                    out.append(j)
+            return out
+
         def fn(params_tuple, key, fixed_vals):
             bb = fixed_vals.shape[0]
             vals = [None] * plan.n_nodes
@@ -127,14 +146,27 @@ class ResampledImportanceSampling(CompiledMethod):
                                 fold(key, 10_000 + idx), weights
                             )
                             # Branchless per-row select: resample the
-                            # prefix of sampled nodes + reset weights
-                            # only where ESS collapsed.
-                            for j in range(idx + 1):
-                                if vals[j] is not None:
-                                    res = gather_particles(vals[j], ridx)
-                                    vals[j] = jnp.where(
-                                        need[:, None, None], res, vals[j]
-                                    )
+                            # still-live sampled nodes + reset weights
+                            # only where ESS collapsed. One fused gather
+                            # over the concatenated live values instead
+                            # of one gather per node.
+                            live = [
+                                j for j in live_after(idx)
+                                if vals[j] is not None
+                            ]
+                            if live:
+                                cat = jnp.concatenate(
+                                    [vals[j] for j in live], axis=-1
+                                )
+                                res = gather_particles(cat, ridx)
+                                cat = jnp.where(
+                                    need[:, None, None], res, cat
+                                )
+                                o = 0
+                                for j in live:
+                                    dj = plan.node_dims[j]
+                                    vals[j] = cat[..., o : o + dj]
+                                    o += dj
                             log_w = jnp.where(
                                 need[:, None], jnp.zeros_like(log_w), log_w
                             )
