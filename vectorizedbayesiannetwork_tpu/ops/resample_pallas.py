@@ -1,0 +1,352 @@
+"""Fused systematic resample-gather: one streaming merge kernel.
+
+The XLA form of systematic resampling materializes ancestor indices
+(scatter-add histogram + prefix sum) and then gathers particles row-by-row
+(``take_along_axis``). Measured on v5e at B=8, S=1M (completion-synced):
+~92 ms for the index computation and ~80-315 ms for the gather (D=1..12) —
+both ~100x off HBM speed-of-light, because XLA lowers TPU scatter/gather
+to per-index dynamic slices.
+
+This kernel exploits that systematic resampling is a *merge* of two sorted
+sequences — the particle CDF ``cum`` and the stratified positions
+``u_j = (j + u0)/S`` — so ancestors are monotone in ``j``:
+
+- A cheap host-side ``searchsorted`` at the B*(S/T) tile boundaries (16k
+  queries, not 8M) yields each output tile's input-window pointer. The
+  pointers ride a scalar-prefetch grid spec, so Pallas's pipeline
+  double-buffers the data-dependent window DMAs like ordinary blocks and
+  the DMA latency is hidden.
+- In-kernel, each position's ancestor *rank* inside its two-window pair
+  comes from a vectorized branchless binary search (10 probe steps over
+  the sorted 1024-row pair), and both the probes and the final value copy
+  use Mosaic's in-register shuffles (``tpu.dynamic_gather``): a lane
+  gather inside a 128-wide block plus a sublane gather across the pair's
+  8 blocks — bit-exact f32 copies, no MXU, no index materialization.
+- A tile whose ancestor span exceeds the prefetched pair (pathological
+  weight crowds) falls back to a manual-DMA window walk in the same
+  kernel; the ``prev_last`` ordering invariant keeps every output row
+  written exactly once.
+
+Both the CDF and the values are reshaped (free, row-major) to
+window-blocked form ``[B, K, rows, 128]`` (window axis split onto
+sublane x lane tiles) so every DMA is a whole aligned window selected by
+leading-dim indices — Mosaic forbids unaligned slices of tiled trailing
+dims, and a short trailing dim would be physically lane-padded to 128.
+
+Semantics match ``searchsorted(cum, u, side='right')`` exactly in f32 (the
+reference form in ``ops/resample.py`` computes the same ancestors via
+``ceil``/histogram up to fp rounding of the same predicate).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+T = 512  # output positions per program instance
+W = 512  # input window rows (== T: a parked pointer has offset < W, so
+#          a two-window pair covers any non-crowded tile in one step)
+_LB = 128  # lane-block width (vreg lanes) for in-register gathers
+_CB = W // _LB  # lane-blocks per window
+
+
+def _fetch(pair, idx):
+    """pair [8, 128] (sorted window pair as 8 lane-blocks), idx [1, 128]
+    int32 in [0, 1024) -> pair values at idx, [1, 128].
+
+    Two single-vreg ``tpu.dynamic_gather``s: lanes within a block, then
+    sublanes across the pair's 8 blocks.
+    """
+    c8 = jnp.broadcast_to(idx >> 7, (8, _LB))
+    r8 = jnp.broadcast_to(idx & (_LB - 1), (8, _LB))
+    m = jnp.take_along_axis(pair, r8, axis=1, mode="promise_in_bounds")
+    g = jnp.take_along_axis(m, c8, axis=0, mode="promise_in_bounds")
+    return g[0:1, :]
+
+
+def _rank1024(cpair, uq):
+    """#{i in [0,1024): cpair_flat[i] <= uq} per lane — branchless binary
+    search over the sorted pair, [1, 128] int32 in [0, 1024]."""
+    cnt = jnp.zeros((1, _LB), jnp.int32)
+    bit = 2 * W // 2
+    while bit >= 1:
+        probe = cnt + (bit - 1)
+        val = _fetch(cpair, probe)
+        cnt = cnt + jnp.where(val <= uq, bit, 0).astype(jnp.int32)
+        bit //= 2
+    return cnt
+
+
+def _pair_pick(cw0, cw1, vw0, vw1, u, u_last, prev_last, acc, d8):
+    """Resolve one two-window pair against the tile's positions.
+
+    cw0/cw1: [4, 128] CDF windows (lane-blocked); vw0/vw1: [d8*4, 128]
+    value windows (feature-major rows of 4 lane-blocks); u: [1, T];
+    u_last/prev_last: scalars; acc: [d8, T].
+    Returns (acc', covered, pair_max).
+    """
+    cpair = jnp.concatenate([cw0, cw1], axis=0)  # [8, 128]
+    nq = T // _LB
+    segs = []
+    for oq in range(nq):
+        uq = u[:, oq * _LB : (oq + 1) * _LB]  # [1, 128]
+        cnt = _rank1024(cpair, uq)
+        # found <=> ancestor in this pair: not before it (rows resolved
+        # by an earlier pair fail prev_last <= u strictly) and not beyond.
+        found_q = jnp.logical_and(prev_last <= uq, cnt < 2 * W)
+        l_q = jnp.clip(cnt, 0, 2 * W - 1)
+        c8 = jnp.broadcast_to(l_q >> 7, (8, _LB))
+        r8 = jnp.broadcast_to(l_q & (_LB - 1), (8, _LB))
+        rows_q = []
+        for d in range(d8):
+            vd = jnp.concatenate(
+                [vw0[4 * d : 4 * d + 4], vw1[4 * d : 4 * d + 4]], axis=0
+            )  # [8, 128]: the pair's 8 lane-blocks of feature d
+            m = jnp.take_along_axis(
+                vd, r8, axis=1, mode="promise_in_bounds"
+            )
+            g = jnp.take_along_axis(
+                m, c8, axis=0, mode="promise_in_bounds"
+            )
+            rows_q.append(g[0:1, :])  # [1, 128]
+        picked_q = jnp.concatenate(rows_q, axis=0)  # [d8, 128]
+        segs.append(
+            jnp.where(
+                found_q,
+                picked_q,
+                acc[oq * d8 : (oq + 1) * d8],
+            )
+        )
+    # acc stays in quarter-blocked layout: rows [oq*d8 + d], lanes = the
+    # position within the quarter — the same tiled form the output buffer
+    # uses (a plain [.., T, D] pallas output with D < 128 would be
+    # physically lane-padded 128/D-fold by Mosaic).
+    tail = acc[nq * d8 :]
+    acc = jnp.concatenate(segs + ([tail] if tail.shape[0] else []), axis=0)
+
+    pair_max = jnp.max(cpair)
+    covered = pair_max > u_last
+    return acc, covered, pair_max
+
+
+def _srg_kernel(
+    u0_ref,  # SMEM [B, 1] f32 (scalar prefetch)
+    p_ref,  # SMEM [B, K] int32 window pointers (scalar prefetch)
+    blk0_ref,  # VMEM [1, 1, 4*(dp+1), 128] pipelined window (pointer):
+    #            rows 0..4 = CDF lane-blocks, rest = value lane-blocks
+    blk1_ref,  # VMEM [1, 1, 4*(dp+1), 128] pipelined window (pointer + 1)
+    blk_raw,  # HBM [B, K, 4*(dp+1), 128] full blocks (overflow walk)
+    out_ref,  # VMEM [1, rows_out, 128] quarter-blocked output tile
+    bso0,  # VMEM scratch [4*(dp+1), 128] (overflow)
+    bso1,  # VMEM scratch [4*(dp+1), 128]
+    sems,  # DMA semaphores (2,)
+    *,
+    s: int,
+    dp: int,
+):
+    b = pl.program_id(0)
+    k = pl.program_id(1)
+    inv_s = jnp.float32(1.0 / s)
+    u0s = u0_ref[b, 0] * inv_s
+    base = (k * T).astype(jnp.float32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1).astype(
+        jnp.float32
+    )
+    u = (base + iota) * inv_s + u0s  # [1, T] sorted positions (lanes)
+    u_last = (base + jnp.float32(T - 1)) * inv_s + u0s
+
+    blk0 = blk0_ref[0, 0]
+    blk1 = blk1_ref[0, 0]
+    rows_out = out_ref.shape[2]
+    acc0 = jnp.zeros((rows_out, _LB), jnp.float32)
+    acc1, covered0, pair_max0 = _pair_pick(
+        blk0[:_CB],
+        blk1[:_CB],
+        blk0[_CB:],
+        blk1[_CB:],
+        u,
+        u_last,
+        jnp.float32(-2.0),
+        acc0,
+        dp,
+    )
+
+    def overflow(carry):
+        widx, prev_last, _cov, acc = carry
+        copies = [
+            pltpu.make_async_copy(blk_raw.at[b, widx], bso0, sems.at[0]),
+            pltpu.make_async_copy(
+                blk_raw.at[b, widx + 1], bso1, sems.at[1]
+            ),
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+        b0 = bso0[:]
+        b1 = bso1[:]
+        acc, covered, pair_max = _pair_pick(
+            b0[:_CB], b1[:_CB], b0[_CB:], b1[_CB:], u, u_last,
+            prev_last, acc, dp,
+        )
+        return widx + 2, pair_max, covered, acc
+
+    start = p_ref[b, k]
+    _, _, _, acc_fin = jax.lax.while_loop(
+        lambda c: jnp.logical_not(c[2]),
+        overflow,
+        (start + 2, pair_max0, covered0, acc1),
+    )
+    out_ref[0, 0] = acc_fin
+
+
+def srg_supported(s: int, d: int) -> bool:
+    """Static-shape gate for the fused kernel."""
+    return s >= T and s % T == 0 and 1 <= d <= 512
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def systematic_resample_gather(
+    key: jax.Array,
+    weights: jax.Array,  # [B, S] nonneg, need not be normalized
+    values: jax.Array,  # [B, S, D]
+    interpret: bool = False,
+) -> jax.Array:
+    """Systematic resampling of ``values`` by ``weights`` -> [B, S, D].
+
+    Ancestors are ``searchsorted(cum, (j + u0)/S, side='right')`` — never
+    materialized; values are copied bit-exactly by in-register gathers.
+    """
+    b, s = weights.shape
+    d = values.shape[-1]
+    assert srg_supported(s, d), (s, d)
+    u0 = jax.random.uniform(key, (b, 1), jnp.float32)
+    cum = jnp.cumsum(weights.astype(jnp.float32), axis=1)
+    cum = cum / jnp.maximum(cum[:, -1:], 1e-38)
+    inv_s = jnp.float32(1.0 / s)
+
+    # Per-tile window pointers: the block of each tile's first ancestor.
+    # Tiny searchsorted (B * S/T queries) — same f32 position formula as
+    # the kernel, so ranks are consistent bit-for-bit.
+    k_tiles = s // T
+    u_grid = (
+        jnp.arange(k_tiles, dtype=jnp.float32)[None, :] * jnp.float32(T)
+    ) * inv_s + u0 * inv_s
+    a0 = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(
+        cum, u_grid
+    )
+    p = (a0 // W).astype(jnp.int32)  # [B, K] in [0, S/W]
+
+    # Pad two spare windows so window pairs (and the overflow walk) always
+    # stay inside the array; pad CDF = 2.0 (> any position).
+    cum = jnp.concatenate(
+        [cum, jnp.full((b, 2 * W), 2.0, jnp.float32)], axis=1
+    )
+    # Pad the feature dim to the next ODD count: the stacked window has
+    # 4*(dp+1) sublane rows, and dp odd makes that a multiple of the
+    # sublane tile (8) with at most one dummy feature — an 8-row pad
+    # would multiply the dominant array by up to 8x.
+    dp = d if d % 2 == 1 else d + 1
+    vals = jnp.concatenate(
+        [
+            values.astype(jnp.float32),
+            jnp.zeros((b, s, dp - d), jnp.float32),
+        ],
+        axis=2,
+    )
+    vals = jnp.concatenate(
+        [vals, jnp.zeros((b, 2 * W, dp), jnp.float32)], axis=1
+    )
+    kw = (s + 2 * W) // W
+    cum = cum.reshape(b, kw, _CB, _LB)
+    # Window-transpose values to [B, K, dp*4, 128]: each feature's window
+    # occupies 4 aligned lane-blocks on sublanes — the layout the
+    # two-level in-register gather wants — then stack the CDF blocks on
+    # top so one DMA per window carries both.
+    vals = (
+        vals.reshape(b, kw, _CB, _LB, dp)
+        .transpose(0, 1, 4, 2, 3)
+        .reshape(b, kw, dp * _CB, _LB)
+    )
+    rows = _CB + dp * _CB
+    assert rows % 8 == 0, rows
+    blocks = jnp.concatenate([cum, vals], axis=2)
+    # Output rides the same quarter-blocked tiled layout (rows = quarter
+    # * dp + feature, lanes = position within the quarter), padded to the
+    # sublane tile; un-blocked on the host below.
+    nq = T // _LB
+    rows_out = -(-(nq * dp) // 8) * 8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, k_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, rows, _LB),
+                lambda bb, kk, u0r, pr: (bb, pr[bb, kk], 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, rows, _LB),
+                lambda bb, kk, u0r, pr: (bb, pr[bb, kk] + 1, 0, 0),
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, rows_out, _LB),
+            lambda bb, kk, u0r, pr: (bb, kk, 0, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows, _LB), jnp.float32),
+            pltpu.VMEM((rows, _LB), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_srg_kernel, s=s, dp=dp),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (b, k_tiles, rows_out, _LB), jnp.float32
+        ),
+        interpret=interpret,
+    )(u0, p, blocks, blocks, blocks)
+    # Un-block: [B, K, nq, dp, 128] -> [B, K, nq, 128, dp] -> [B, S, dp].
+    out = (
+        out[:, :, : nq * dp]
+        .reshape(b, k_tiles, nq, dp, _LB)
+        .transpose(0, 1, 2, 4, 3)
+        .reshape(b, s, dp)
+    )
+    return out[..., :d].astype(values.dtype)
+
+
+def systematic_resample_gather_xla(
+    key: jax.Array, weights: jax.Array, values: jax.Array
+) -> jax.Array:
+    """Same semantics in plain XLA (CPU/test path, and unsupported shapes).
+
+    Uses the identical f32 position formula so ancestors match the kernel
+    bit-for-bit.
+    """
+    b, s = weights.shape
+    u0 = jax.random.uniform(key, (b, 1), jnp.float32)
+    cum = jnp.cumsum(weights.astype(jnp.float32), axis=1)
+    cum = cum / jnp.maximum(cum[:, -1:], 1e-38)
+    inv_s = jnp.float32(1.0 / s)
+    u = jnp.arange(s, dtype=jnp.float32)[None, :] * inv_s + u0 * inv_s
+    idx = jax.vmap(
+        lambda c, p: jnp.searchsorted(c, p, side="right")
+    )(cum, u)
+    idx = jnp.clip(idx, 0, s - 1).astype(jnp.int32)
+    return jnp.take_along_axis(values, idx[..., None], axis=1)
+
+
+def srg_available() -> bool:
+    """Default-on for non-CPU backends; VBN_RESAMPLE_PALLAS=0 opts out."""
+    import os
+
+    if os.environ.get("VBN_RESAMPLE_PALLAS", "1") != "1":
+        return False
+    return jax.default_backend() not in ("cpu",)
