@@ -1,14 +1,18 @@
 """Headline benchmark: posterior queries/s at 1M particles (BASELINE.json).
 
 Workload: the flagship 3-node linear-Gaussian DAG (README minimal example
-config), monte-carlo-marginalization posterior with B=8 batched queries and
-S=1,048,576 particles per query — the north-star metric "posterior
-queries/s/chip at 1M particles".
+config), monte-carlo-marginalization posterior with S=1,048,576 particles
+per query — the north-star metric "posterior queries/s/chip at 1M
+particles". Throughput framing: each system runs at its own best serving
+batch — B=256 here (v5e saturates around there; B=512 exceeds HBM), B=8
+for the torch reference on CPU (it is memory-bound and DEGRADES with
+batch: measured 15.2 q/s at B=8 vs 5.7 q/s at B=128).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is the speedup over the reference torch implementation
-(/root/reference) running the identical query set on this host's CPU
-(the reference has no published numbers to compare against — SURVEY.md §6).
+(/root/reference) running the identical per-query workload on this host's
+CPU (the reference has no published numbers to compare against —
+SURVEY.md §6).
 """
 
 from __future__ import annotations
@@ -20,9 +24,10 @@ import time
 
 import numpy as np
 
-B = 8
+B = 256  # TPU serving batch (throughput-optimal; B=512 exceeds HBM)
+B_REF = 8  # reference's best batch — larger batches DEGRADE its q/s
 S = 1 << 20  # 1M particles
-REPS = 20
+REPS = 12
 
 
 def _sync(out) -> None:
@@ -90,8 +95,8 @@ def bench_reference_cpu() -> float:
     vbn.fit(df)
     vbn.set_inference_method("monte_carlo_marginalization", n_samples=S)
     ev = {
-        "x0": torch.linspace(-1, 1, B).reshape(B, 1),
-        "x1": torch.linspace(1, -1, B).reshape(B, 1),
+        "x0": torch.linspace(-1, 1, B_REF).reshape(B_REF, 1),
+        "x1": torch.linspace(1, -1, B_REF).reshape(B_REF, 1),
     }
     query = {"target": "x2", "evidence": ev}
     vbn.infer_posterior(query)  # warmup
@@ -100,7 +105,7 @@ def bench_reference_cpu() -> float:
         t0 = time.perf_counter()
         vbn.infer_posterior(query)
         best = min(best, time.perf_counter() - t0)
-    return B / best
+    return B_REF / best
 
 
 def main() -> None:
