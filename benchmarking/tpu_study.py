@@ -70,6 +70,36 @@ def main() -> None:
     vbn.set_inference_method("importance_sampling", n_samples=1 << 20)
     dt = _measure(lambda: vbn.infer_posterior(q_diag))
     emit("linear_gaussian+is(diagnosis)", 1 << 20, dt)
+    for s in [1 << 22, 1 << 20, 1 << 16]:
+        vbn.set_inference_method(
+            "resampled_importance_sampling", n_samples=s, ess_threshold=0.5
+        )
+        dt = _measure(lambda: vbn.infer_posterior(q_diag))
+        emit("linear_gaussian+ris(systematic)", s, dt)
+    # Serving-batch throughput: the chip saturates around B=256 at 1M
+    # particles (B=8 under-utilizes it; B=512 exceeds HBM).
+    for bb in [64, 256]:
+        evb = {
+            "x0": np.linspace(-1, 1, bb).reshape(bb, 1).astype(np.float32),
+            "x1": np.linspace(1, -1, bb).reshape(bb, 1).astype(np.float32),
+        }
+        qb = {"target": "x2", "evidence": evb}
+        vbn.set_inference_method(
+            "monte_carlo_marginalization", n_samples=1 << 20
+        )
+        dt = _measure(lambda: vbn.infer_posterior(qb), reps=6)
+        print(
+            json.dumps(
+                {
+                    "config": "linear_gaussian+mcm",
+                    "particles": 1 << 20,
+                    "batch": bb,
+                    "ms_per_batch": round(dt * 1000, 2),
+                    "queries_per_s": round(bb / dt, 1),
+                }
+            ),
+            flush=True,
+        )
     vbn.set_inference_method(
         "rao_blackwellized_marginalization",
         n_samples=512, n_particles=1 << 18,

@@ -84,3 +84,68 @@ def test_supported_gate():
     assert srg_supported(2048, 5)
     assert not srg_supported(100, 5)  # S not a tile multiple
     assert not srg_supported(2048, 1024)  # D too wide
+
+
+def _norm_cum(w):
+    c = jnp.cumsum(w, axis=1)
+    return c / jnp.maximum(c[:, -1:], 1e-38)
+
+
+@pytest.mark.parametrize("case", range(6))
+def test_sorted_gather_matches_xla(case):
+    from vectorizedbayesiannetwork_tpu.ops.resample_pallas import (
+        sorted_gather,
+        sorted_gather_xla,
+    )
+
+    weights = _profiles()[case]
+    cum = _norm_cum(weights)
+    key = jax.random.PRNGKey(100 + case)
+    # sorted random positions, including boundary values 0 and ~1
+    pos = jnp.sort(jax.random.uniform(key, (B, S)), axis=1)
+    pos = pos.at[:, 0].set(0.0).at[:, -1].set(1.0)
+    vals = jax.random.normal(jax.random.fold_in(key, 1), (B, S, D))
+    got = sorted_gather(cum, pos, vals, interpret=True)
+    want = sorted_gather_xla(cum, pos, vals)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sorted_gather_different_sizes():
+    """S_out != S_in: 1024 picks from a 2048-row support."""
+    from vectorizedbayesiannetwork_tpu.ops.resample_pallas import (
+        sorted_gather,
+        sorted_gather_xla,
+    )
+
+    key = jax.random.PRNGKey(7)
+    w = jax.random.dirichlet(key, jnp.ones((S,)), shape=(B,))
+    cum = _norm_cum(w)
+    pos = jnp.sort(jax.random.uniform(jax.random.fold_in(key, 1), (B, 1024)), axis=1)
+    vals = jax.random.normal(jax.random.fold_in(key, 2), (B, S, D))
+    got = sorted_gather(cum, pos, vals, interpret=True)
+    want = sorted_gather_xla(cum, pos, vals)
+    assert got.shape == (B, 1024, D)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_multinomial_resample_gather_distribution():
+    """Ancestor counts match multinomial expectations (chi-square-ish)."""
+    from vectorizedbayesiannetwork_tpu.ops.resample_pallas import (
+        multinomial_resample_gather,
+    )
+
+    key = jax.random.PRNGKey(11)
+    probs = [0.4, 0.3, 0.2, 0.1]
+    weights = jnp.tile(
+        jnp.array([probs + [0.0] * (S - 4)]), (B, 1)
+    )
+    vals = jnp.broadcast_to(
+        jnp.arange(S, dtype=jnp.float32)[None, :, None], (B, S, D)
+    )
+    out = multinomial_resample_gather(key, weights, vals, interpret=True)
+    ids = np.asarray(out[:, :, 0]).astype(int)
+    counts = np.stack([np.bincount(r, minlength=S) for r in ids])
+    assert counts[:, 4:].sum() == 0
+    for i, p in enumerate(probs):
+        # multinomial sd = sqrt(S p (1-p)) ~ 22 at S=2048; allow 5 sd
+        assert np.abs(counts[:, i] - S * p).max() < 5 * np.sqrt(S * p * (1 - p))

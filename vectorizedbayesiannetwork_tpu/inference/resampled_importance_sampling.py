@@ -29,6 +29,7 @@ from ..ops.resample import (
     systematic_resample_indices,
 )
 from ..ops.resample_pallas import (
+    multinomial_resample_gather,
     srg_available,
     srg_supported,
     systematic_resample_gather,
@@ -161,17 +162,22 @@ class ResampledImportanceSampling(CompiledMethod):
                                     [vals[j] for j in live], axis=-1
                                 )
                                 d_live = cat.shape[-1]
-                                if (
-                                    resample_method == "systematic"
-                                    and srg_available()
-                                    and srg_supported(s, d_live)
+                                if srg_available() and srg_supported(
+                                    s, d_live
                                 ):
                                     # Fused merge kernel: never
                                     # materializes ancestor indices
                                     # (ops/resample_pallas.py) — ~6.7x
                                     # over the index+gather XLA path at
-                                    # 8 x 1M on v5e.
-                                    res = systematic_resample_gather(
+                                    # 8 x 1M on v5e (multinomial rides
+                                    # the same kernel via sorted uniform
+                                    # order statistics).
+                                    fused = (
+                                        systematic_resample_gather
+                                        if resample_method == "systematic"
+                                        else multinomial_resample_gather
+                                    )
+                                    res = fused(
                                         fold(key, 10_000 + idx),
                                         weights,
                                         cat,

@@ -141,7 +141,9 @@ class KDECPD(BaseCPD):
     def _log_prob_flat(self, params, x, parents):
         from ..ops.kde_kernel import kde_log_prob
 
-        log_mask = jnp.log(jnp.maximum(params["valid"], 1e-38))
+        # 1e-20, not 1e-38: TPUs flush subnormal f32 to zero, which would
+        # turn this soft mask into a hard -inf (NaN risk downstream).
+        log_mask = jnp.log(jnp.maximum(params["valid"], 1e-20))
         return kde_log_prob(
             x,
             parents if self.input_dim else None,
@@ -161,7 +163,9 @@ class KDECPD(BaseCPD):
         )
 
         k_pick, k_noise = jax.random.split(key)
-        log_mask = jnp.log(jnp.maximum(params["valid"], 1e-38))
+        # 1e-20, not 1e-38: TPUs flush subnormal f32 to zero, which would
+        # turn this soft mask into a hard -inf (NaN risk downstream).
+        log_mask = jnp.log(jnp.maximum(params["valid"], 1e-20))
         bw = max(self.bandwidth, 1e-3)
         if pallas_available() and self.input_dim <= _DIRECT_D:
             # Fused pick: scores + Gumbel + argmax + one-hot GEMM in VMEM —

@@ -31,7 +31,7 @@ def systematic_resample_indices(
     b, s = weights.shape
     u0 = jax.random.uniform(key, (b, 1))
     cum = jnp.cumsum(weights, axis=1)
-    cum = cum / jnp.maximum(cum[:, -1:], 1e-38)  # exact normalization
+    cum = cum / jnp.maximum(cum[:, -1:], 1e-20)  # exact normalization (guard must be normal-range f32: TPUs flush subnormals)
     # t_i = number of positions strictly below cum_i, in [0, S]
     t = jnp.clip(jnp.ceil(s * cum - u0), 0, s).astype(jnp.int32)
     # histogram of t over 0..S per batch row, then inclusive prefix sum:
@@ -49,7 +49,7 @@ def multinomial_resample_indices(
     b, s = weights.shape
     u = jax.random.uniform(key, (b, s))
     cum = jnp.cumsum(weights, axis=1)
-    cum = cum / jnp.maximum(cum[:, -1:], 1e-38)
+    cum = cum / jnp.maximum(cum[:, -1:], 1e-20)
     idx = jax.vmap(lambda c, p: jnp.searchsorted(c, p, side="left"))(cum, u)
     return jnp.clip(idx, 0, s - 1).astype(jnp.int32)
 
