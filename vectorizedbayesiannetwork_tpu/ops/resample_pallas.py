@@ -47,11 +47,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .scan_pallas import cumsum_available, cumsum_pallas
+
 T = 512  # output positions per program instance
 W = 512  # input window rows (== T: a parked pointer has offset < W, so
 #          a two-window pair covers any non-crowded tile in one step)
 _LB = 128  # lane-block width (vreg lanes) for in-register gathers
 _CB = W // _LB  # lane-blocks per window
+
+
+def _norm_cum(weights: jax.Array) -> jax.Array:
+    """Normalized inclusive CDF, shared by the fused kernels AND the XLA
+    reference paths so ancestor predicates stay bit-consistent. Uses the
+    single-pass Pallas cumsum (monotone variant) off-CPU."""
+    w = weights.astype(jnp.float32)
+    if cumsum_available():
+        cum = cumsum_pallas(w, monotone=True)
+    else:
+        cum = jnp.cumsum(w, axis=1)
+    return cum / jnp.maximum(cum[:, -1:], 1e-20)
 
 
 def _fetch(pair, idx):
@@ -309,8 +323,7 @@ def systematic_resample_gather(
     d = values.shape[-1]
     assert srg_supported(s, d), (s, d)
     u0 = jax.random.uniform(key, (b, 1), jnp.float32)
-    cum = jnp.cumsum(weights.astype(jnp.float32), axis=1)
-    cum = cum / jnp.maximum(cum[:, -1:], 1e-20)
+    cum = _norm_cum(weights)
     inv_s = jnp.float32(1.0 / s)
 
     # Per-tile window pointers: the block of each tile's first ancestor.
@@ -464,12 +477,14 @@ def multinomial_resample_gather(
     (~1.7 s at 8 x 1M on v5e) with one merge pass.
     """
     b, s = weights.shape
-    cum = jnp.cumsum(weights.astype(jnp.float32), axis=1)
-    cum = cum / jnp.maximum(cum[:, -1:], 1e-20)
+    cum = _norm_cum(weights)
     # NOTE: guards must be normal-range f32 — TPUs flush subnormals
     # (e.g. 1e-38) to zero, silently disabling them.
     e = jax.random.exponential(key, (b, s + 1), jnp.float32)
-    c = jnp.cumsum(e, axis=1)
+    if cumsum_available():
+        c = cumsum_pallas(e, monotone=True)
+    else:
+        c = jnp.cumsum(e, axis=1)
     pos = c[:, :s] / jnp.maximum(c[:, -1:], 1e-20)
     return sorted_gather(cum, pos, values, interpret=interpret)
 
@@ -484,8 +499,7 @@ def systematic_resample_gather_xla(
     """
     b, s = weights.shape
     u0 = jax.random.uniform(key, (b, 1), jnp.float32)
-    cum = jnp.cumsum(weights.astype(jnp.float32), axis=1)
-    cum = cum / jnp.maximum(cum[:, -1:], 1e-20)
+    cum = _norm_cum(weights)
     inv_s = jnp.float32(1.0 / s)
     u = jnp.arange(s, dtype=jnp.float32)[None, :] * inv_s + u0 * inv_s
     idx = jax.vmap(
