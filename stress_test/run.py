@@ -145,6 +145,25 @@ class VBNTpuBackend:
         return (time.perf_counter() - t0) * 1000
 
     def infer(self, queries: np.ndarray, n_samples: int, batch_size: int):
+        # Warm up the compiled program on one chunk so inference_time_ms
+        # measures steady-state serving, not the first-call XLA compile
+        # (the torch reference is eager, so its numbers never include a
+        # compile; without this the first cardinality absorbs ~30s).
+        # The warmup MUST be synced to the host: compiles are dispatched
+        # asynchronously through the axon tunnel, so an unsynced warmup
+        # pushes the whole compile into the timed window.
+        warm = queries[: min(batch_size, len(queries))]
+        wp, _ = self.vbn.infer_posterior(
+            {
+                "target": "reward",
+                "evidence": {
+                    "state": warm[:, :1].astype(np.float32),
+                    "action": warm[:, 1:].astype(np.float32),
+                },
+            },
+            n_samples=n_samples,
+        )
+        np.asarray(wp)  # block until compile + execution really finish
         t0 = time.perf_counter()
         out = []
         for start in range(0, len(queries), batch_size):
