@@ -112,3 +112,25 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     assert np.asarray(out[0]).shape == (4, 1024)
     ge.dryrun_multichip(8)
+
+
+def test_ris_resampling_under_mesh(vbn, mesh):
+    """RIS's resample step must stay mesh-compatible: the fused Pallas
+    kernel is single-device, so under a mesh the sweep uses the XLA
+    index+gather form (whose reductions pjit partitions)."""
+    vbn.set_mesh(mesh)
+    try:
+        vbn.set_inference_method(
+            "resampled_importance_sampling",
+            n_samples=2048,
+            ess_threshold=0.9,
+        )
+        ev = {"x2": np.array([[0.6], [0.2]], np.float32)}
+        pdf, samples = vbn.infer_posterior(
+            {"target": "x0", "evidence": ev}
+        )
+        assert np.asarray(pdf).shape == (2, 2048)
+        assert np.isfinite(np.asarray(pdf)).all()
+        assert np.isfinite(np.asarray(samples)).all()
+    finally:
+        vbn.set_mesh(None)

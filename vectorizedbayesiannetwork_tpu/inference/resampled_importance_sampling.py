@@ -162,8 +162,15 @@ class ResampledImportanceSampling(CompiledMethod):
                                     [vals[j] for j in live], axis=-1
                                 )
                                 d_live = cat.shape[-1]
-                                if srg_available() and srg_supported(
-                                    s, d_live
+                                # The fused kernel is single-device
+                                # (pallas_call does not auto-partition):
+                                # under a mesh, keep the index+gather XLA
+                                # form, whose reductions/gathers pjit
+                                # handles with collectives.
+                                if (
+                                    getattr(vbn, "_mesh", None) is None
+                                    and srg_available()
+                                    and srg_supported(s, d_live)
                                 ):
                                     # Fused merge kernel: never
                                     # materializes ancestor indices
