@@ -22,7 +22,7 @@ from vectorizedbayesiannetwork_tpu import VBN, defaults
 S = 512
 
 
-def _fit_lin_gauss(seed=0, epochs=60):
+def _fit_lin_gauss(seed=0, epochs=60, **lkw):
     g = np.random.default_rng(seed)
     n = 6000
     x0 = g.normal(size=n)
@@ -37,6 +37,7 @@ def _fit_lin_gauss(seed=0, epochs=60):
         epochs=epochs,
         batch_size=512,
         hidden_dims=[64, 64],
+        **lkw,
     )
     v.fit(df)
     v.set_inference_method("amortized", n_samples=S)
@@ -69,11 +70,58 @@ def test_inverse_posterior(vbn):
     assert abs(_mean(vbn, pdf, s) - 0.5) < 0.12
 
 
-def test_do_falls_back(vbn):
+def test_do_served_amortized(vbn):
+    # do(x0) on a root == conditioning on it; the interventionally trained
+    # net (the default) serves it in one forward pass, no fallback.
     pdf, s = vbn.infer_posterior({"target": "x2", "do": {"x0": [[1.0]]}})
-    assert vbn._inference._last_fallback
-    assert "do-intervention" in vbn._inference._last_reason
-    assert abs(_mean(vbn, pdf, s) - 0.5) < 0.08
+    assert not vbn._inference._last_fallback
+    assert abs(_mean(vbn, pdf, s) - 0.5) < 0.1
+
+
+def test_do_falls_back_when_observational():
+    v = _fit_lin_gauss(interventional=False)
+    pdf, s = v.infer_posterior({"target": "x2", "do": {"x0": [[1.0]]}})
+    assert v._inference._last_fallback
+    assert "do-intervention" in v._inference._last_reason
+    assert abs(_mean(v, pdf, s) - 0.5) < 0.08
+
+
+def test_amortized_do_differs_from_conditioning_under_confounding():
+    """x0 -> x1, x0 -> x2, x1 -> x2: p(x2 | do(x1=v)) has mean c*v while
+    p(x2 | x1=v) has mean (c + b*a/(a^2+s1^2))*v — the do-mask channel
+    must sever the backdoor through x0."""
+    g = np.random.default_rng(3)
+    n = 8000
+    a, b, c, s1 = 1.0, 1.0, 0.5, 0.5
+    x0 = g.normal(size=n)
+    x1 = a * x0 + s1 * g.normal(size=n)
+    x2 = b * x0 + c * x1 + 0.1 * g.normal(size=n)
+    df = pd.DataFrame({"x0": x0, "x1": x1, "x2": x2})
+    G = nx.DiGraph([("x0", "x1"), ("x0", "x2"), ("x1", "x2")])
+    v = VBN(G, seed=0)
+    v.set_learning_method(
+        "amortized",
+        nodes_cpds={k: defaults.cpd("linear_gaussian") for k in G.nodes},
+        epochs=80,
+        batch_size=512,
+        hidden_dims=[64, 64],
+        n_do_sets=16,
+    )
+    v.fit(df)
+    v.set_inference_method("amortized", n_samples=S)
+    val = 2.0
+    do_mean = 0.5 * val  # c*v = 1.0
+    cond_mean = (c + b * a / (a * a + s1 * s1)) * val  # 1.3*v = 2.6
+    pdf, s = v.infer_posterior({"target": "x2", "do": {"x1": [[val]]}})
+    assert not v._inference._last_fallback
+    m_do = _mean(v, pdf, s)
+    pdf, s = v.infer_posterior({"target": "x2", "evidence": {"x1": [[val]]}})
+    assert not v._inference._last_fallback
+    m_cond = _mean(v, pdf, s)
+    assert abs(m_do - do_mean) < 0.45, (m_do, do_mean)
+    assert abs(m_cond - cond_mean) < 0.45, (m_cond, cond_mean)
+    # the two answers are far apart (gap 1.6): the net distinguishes them
+    assert m_cond - m_do > 0.8
 
 
 def test_unfitted_amortizer_falls_back():

@@ -61,22 +61,31 @@ class AmortizedInference(CompiledMethod):
                 "model has no amortized net (fit with the 'amortized' "
                 "learning method)",
             )
-        if query.do:
+        spec0 = am["spec"]
+        if query.do and not spec0.interventional:
             return self._fall_back(
                 vbn, query, s,
-                "do-interventions change the joint; the amortizer is "
-                "trained observationally",
+                "do-interventions change the joint and this amortizer "
+                "was trained observationally (fit with "
+                "interventional=True to amortize do-queries)",
             )
         t = plan.target_idx
-        if plan.evidence_mask[t]:
-            return self._fall_back(vbn, query, s, "target is observed")
+        if plan.evidence_mask[t] or plan.do_mask[t]:
+            return self._fall_back(vbn, query, s, "target is fixed")
         self._last_fallback = False
         self._last_reason = None
 
         spec, net = am["spec"], am["net"]
         fixed = pack_fixed_values(query, plan, b, clamp_obs=True)
+        # Visible-value mask covers evidence AND do'd nodes; the do-mask
+        # channel tells the (interventionally trained) net which visible
+        # values must not propagate inference upstream.
         mask_row = jnp.asarray(
-            [1.0 if plan.evidence_mask[i] else 0.0 for i in range(plan.n_nodes)],
+            [1.0 if plan.is_fixed(i) else 0.0 for i in range(plan.n_nodes)],
+            jnp.float32,
+        )
+        do_row = jnp.asarray(
+            [1.0 if plan.do_mask[i] else 0.0 for i in range(plan.n_nodes)],
             jnp.float32,
         )
         d = plan.node_dims[t]
@@ -85,7 +94,10 @@ class AmortizedInference(CompiledMethod):
         def fn(net_params, key, fixed_vals):
             bb = fixed_vals.shape[0]
             mask = jnp.broadcast_to(mask_row[None], (bb, plan.n_nodes))
-            heads = amortized_forward(spec, net_params, fixed_vals, mask)
+            do_mask = jnp.broadcast_to(do_row[None], (bb, plan.n_nodes))
+            heads = amortized_forward(
+                spec, net_params, fixed_vals, mask, do_mask
+            )
             if categorical:
                 probs, values = node_distribution(spec, net_params, heads, t)
                 k = spec.n_classes[t]

@@ -53,6 +53,10 @@ class AmortizedSpec:
     hidden_dims: Tuple[int, ...]
     activation: str
     min_scale: float
+    # True when the net was trained with a do-mask channel on
+    # model-generated mutilated-graph samples, so it can answer
+    # p(target | evidence, do(...)) directly.
+    interventional: bool = False
 
     @property
     def n_nodes(self) -> int:
@@ -60,7 +64,8 @@ class AmortizedSpec:
 
     @property
     def input_dim(self) -> int:
-        return self.total_dim + self.n_nodes
+        extra = 2 if self.interventional else 1
+        return self.total_dim + extra * self.n_nodes
 
     @property
     def head_total(self) -> int:
@@ -75,6 +80,7 @@ class AmortizedSpec:
             self.hidden_dims,
             self.activation,
             self.min_scale,
+            self.interventional,
         )
 
     def node_index(self, node: str) -> int:
@@ -93,6 +99,7 @@ class AmortizedSpec:
             "hidden_dims": list(self.hidden_dims),
             "activation": self.activation,
             "min_scale": self.min_scale,
+            "interventional": self.interventional,
         }
 
     @classmethod
@@ -109,6 +116,7 @@ class AmortizedSpec:
             hidden_dims=tuple(int(v) for v in d["hidden_dims"]),
             activation=str(d["activation"]),
             min_scale=float(d["min_scale"]),
+            interventional=bool(d.get("interventional", False)),
         )
 
 
@@ -117,6 +125,7 @@ def build_spec(
     hidden_dims: Sequence[int],
     activation: str,
     min_scale: float,
+    interventional: bool = False,
 ) -> AmortizedSpec:
     topo = tuple(vbn.dag.topological_order())
     dims = tuple(int(vbn.cpd_spec(n).output_dim) for n in topo)
@@ -153,6 +162,7 @@ def build_spec(
         hidden_dims=tuple(int(h) for h in hidden_dims),
         activation=check_activation(str(activation)),
         min_scale=float(min_scale),
+        interventional=bool(interventional),
     )
 
 
@@ -172,15 +182,25 @@ def _mask_expand_matrix(spec: AmortizedSpec) -> np.ndarray:
 
 
 def amortized_forward(
-    spec: AmortizedSpec, net: Dict, rows: jax.Array, mask: jax.Array
+    spec: AmortizedSpec,
+    net: Dict,
+    rows: jax.Array,
+    mask: jax.Array,
+    do_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Trunk forward. rows [M, total_dim] RAW values, mask [M, n_nodes].
-
-    Returns head activations [M, head_total].
+    """Trunk forward. rows [M, total_dim] RAW values, mask [M, n_nodes]
+    (1 = value visible: evidence OR intervention), do_mask [M, n_nodes]
+    (1 = the visible value is a do-intervention, so upstream inference
+    must not flow). Returns head activations [M, head_total].
     """
     xn = (rows - net["mean"]) / net["std"]
     expand = jnp.asarray(_mask_expand_matrix(spec))
-    x_in = jnp.concatenate([xn * (mask @ expand), mask], axis=-1)
+    parts = [xn * (mask @ expand), mask]
+    if spec.interventional:
+        if do_mask is None:
+            do_mask = jnp.zeros_like(mask)
+        parts.append(do_mask)
+    x_in = jnp.concatenate(parts, axis=-1)
     return mlp_apply(net["mlp"], x_in, spec.activation)
 
 
@@ -216,9 +236,17 @@ class _AmortizedModule:
 
     def _nll(self, net: Dict, mask: jax.Array, rows: jax.Array) -> jax.Array:
         spec = self.spec
+        # Interventional nets receive [obs_mask | do_mask] stacked on the
+        # mask argument (the shared trainer passes exactly two arrays).
+        do_mask = None
+        if spec.interventional:
+            mask, do_mask = (
+                mask[:, : spec.n_nodes],
+                mask[:, spec.n_nodes :],
+            )
         # amortized_forward masks the normalized inputs, so unobserved dims
         # enter the trunk as exactly 0 (the standardized mean) — no leak.
-        heads = amortized_forward(spec, net, rows, mask)
+        heads = amortized_forward(spec, net, rows, mask, do_mask)
         total = jnp.zeros((), jnp.float32)
         count = jnp.zeros((), jnp.float32)
         xn = (rows - net["mean"]) / net["std"]
@@ -262,6 +290,8 @@ class AmortizedLearner:
         weight_decay: float = 0.0,
         n_mask_samples: int = 4,
         min_scale: float = 1e-3,
+        interventional: bool = True,
+        n_do_sets: int = 12,
         **_kwargs,
     ) -> None:
         self.default_cpd = default_cpd
@@ -273,7 +303,61 @@ class AmortizedLearner:
         self.weight_decay = float(weight_decay)
         self.n_mask_samples = max(1, int(n_mask_samples))
         self.min_scale = float(min_scale)
+        # Train a do-mask channel on model-generated mutilated-graph
+        # samples so do-queries are served amortized too (single-node
+        # graphs have nothing to intervene on).
+        self.interventional = bool(interventional)
+        self.n_do_sets = max(1, int(n_do_sets))
         self._node_wise = NodeWiseLearner(default_cpd=default_cpd)
+
+    def _interventional_rows(self, vbn, spec, rows, rng):
+        """Mutilated-graph training rows: (values, obs_masks, do_masks).
+
+        One ancestral-joint call per random do-set; do values are
+        bootstrapped from the data marginals so they stay on-support.
+        """
+        from ..core.base import Query
+        from ..sampling.ancestral import AncestralSampler
+
+        sampler = AncestralSampler(n_samples=1)
+        n = rows.shape[0]
+        bsz = min(1024, n)
+        out_rows, out_masks, out_dos = [], [], []
+        for gi in range(self.n_do_sets):
+            size = int(rng.integers(1, max(2, spec.n_nodes // 2 + 1)))
+            do_idx = rng.choice(spec.n_nodes, size=size, replace=False)
+            do = {}
+            for i in do_idx:
+                off, d = spec.offsets[i], spec.dims[i]
+                picks = rng.integers(0, n, size=bsz)
+                do[spec.topo[i]] = rows[picks, off : off + d]
+            target = spec.topo[-1]
+            if spec.node_index(target) in do_idx:
+                target = spec.topo[0]
+            joint = sampler.sample_joint(
+                vbn,
+                Query(target=target, evidence={}, do=do),
+                n_samples=1,
+            )
+            vals = np.concatenate(
+                [np.asarray(joint[node])[:, 0, :] for node in spec.topo],
+                axis=-1,
+            ).astype(np.float32)
+            do_mask = np.zeros((bsz, spec.n_nodes), np.float32)
+            do_mask[:, do_idx] = 1.0
+            p_obs = rng.uniform(0.1, 0.9, size=(bsz, 1)).astype(np.float32)
+            obs = (rng.random((bsz, spec.n_nodes)) < p_obs).astype(
+                np.float32
+            )
+            obs = np.maximum(obs, do_mask)  # do'd values are always given
+            out_rows.append(vals)
+            out_masks.append(obs)
+            out_dos.append(do_mask)
+        return (
+            np.concatenate(out_rows, axis=0),
+            np.concatenate(out_masks, axis=0),
+            np.concatenate(out_dos, axis=0),
+        )
 
     def fit(
         self,
@@ -287,8 +371,10 @@ class AmortizedLearner:
         self._node_wise.fit(vbn, data, verbose=verbose, **kwargs)
 
         # Stage 2: the amortizer, trained on randomly-masked data rows.
+        interventional = self.interventional and len(vbn.dag) > 1
         spec = build_spec(
-            vbn, self.hidden_dims, self.activation, self.min_scale
+            vbn, self.hidden_dims, self.activation, self.min_scale,
+            interventional=interventional,
         )
         rows = np.concatenate(
             [np.asarray(data[n], np.float32) for n in spec.topo], axis=-1
@@ -304,6 +390,23 @@ class AmortizedLearner:
             reps.append(rows)
         rows_rep = np.concatenate(reps, axis=0)
         masks_rep = np.concatenate(masks, axis=0)
+        do_rep = np.zeros_like(masks_rep)
+
+        if interventional:
+            # Stage 2b: model-generated interventional rows. For each
+            # random do-set, bootstrap do VALUES from the observed
+            # marginals and ancestral-sample the remaining nodes from the
+            # fitted model's MUTILATED graph (do severs parents inside the
+            # sweep). The net sees the do flag as its own channel; the
+            # loss still covers only unobserved nodes.
+            int_rows, int_masks, int_dos = self._interventional_rows(
+                vbn, spec, rows, rng
+            )
+            rows_rep = np.concatenate([rows_rep, int_rows], axis=0)
+            masks_rep = np.concatenate([masks_rep, int_masks], axis=0)
+            do_rep = np.concatenate([do_rep, int_dos], axis=0)
+        if spec.interventional:
+            masks_rep = np.concatenate([masks_rep, do_rep], axis=1)
 
         mean = rows.mean(axis=0)
         std = np.maximum(rows.std(axis=0), 1e-6)
