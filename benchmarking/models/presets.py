@@ -24,6 +24,13 @@ _add(ModelBenchmarkConfig(
     inference=ComponentSpec.make("likelihood_weighting", n_samples=2048),
 ))
 _add(ModelBenchmarkConfig(
+    "vbn_ct_lw_dyn", "vbn_tpu",
+    cpd=ComponentSpec.make("categorical_table"),
+    inference=ComponentSpec.make(
+        "likelihood_weighting", n_samples=2048, dynamic_masks=True
+    ),
+))
+_add(ModelBenchmarkConfig(
     "vbn_ct_is", "vbn_tpu",
     cpd=ComponentSpec.make("categorical_table"),
     inference=ComponentSpec.make("importance_sampling", n_samples=2048),

@@ -1,0 +1,99 @@
+"""Mask-dynamic ancestral sweep: ONE compiled program per network.
+
+The static sweep (``_sweep.py``) specializes each program on the query's
+evidence/do masks and target — ideal when query shapes repeat (serving),
+but a benchmark-style workload with PAC-diverse evidence sets compiles a
+fresh program per skeleton (measured 2-4 s/query through the remote-compile
+tunnel, ``benchmarking/`` report). This variant moves ALL query structure
+to runtime inputs:
+
+- ``ev_mask``/``do_mask`` [n_nodes] f32: every node computes BOTH its
+  conditional sample and its log-density at the packed fixed value, then
+  selects by mask — branchless, ~1.5-2x the static sweep's FLOPs, one
+  compile for every evidence pattern.
+- ``target_idx`` scalar: the target block is pulled out of the packed
+  [B, S, total_dim] tensor with a one-hot contraction built from the
+  plan's static offset/dim tables.
+
+Draw parity: latent nodes fold the same per-node subkeys as the static
+sweep, so for matching (B, S) the latent draws are bit-identical to the
+static program's.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.plan import InferencePlan
+from ..core.rng import fold
+from ..parallel.mesh import constrain_bs, constrain_bsd
+
+
+def dynamic_sweep_trace(
+    plan: InferencePlan,
+    cpds: Sequence,
+    params_tuple: Tuple,
+    key: jax.Array,
+    fixed: jax.Array,  # [B, total_dim] packed evidence/do values
+    ev_mask: jax.Array,  # [n_nodes] f32 (1 = evidence: clamp + weight)
+    do_mask: jax.Array,  # [n_nodes] f32 (1 = do: clamp, no weight)
+    n_samples: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (packed [B,S,total_dim], log_weights [B,S])."""
+    b = fixed.shape[0]
+    s = n_samples
+    m = b * s
+    vals = [None] * plan.n_nodes
+    log_w = jnp.zeros((b, s), jnp.float32)
+    for idx in range(plan.n_nodes):
+        d = plan.node_dims[idx]
+        off = plan.node_offsets[idx]
+        pidx = plan.parent_idx[idx]
+        if pidx:
+            parents = jnp.concatenate([vals[p] for p in pidx], axis=-1)
+            pflat = parents.reshape(m, -1)
+        else:
+            pflat = None
+        sampled = cpds[idx]._sample_flat(
+            params_tuple[idx], fold(key, idx), pflat, m
+        ).reshape(b, s, d)
+        fixed_b = jnp.broadcast_to(fixed[:, None, off : off + d], (b, s, d))
+        m_fix = jnp.maximum(ev_mask[idx], do_mask[idx])
+        v = jnp.where(m_fix > 0, fixed_b, sampled)
+        vals[idx] = constrain_bsd(v)
+        lp = cpds[idx]._log_prob_flat(
+            params_tuple[idx], v.reshape(m, d), pflat
+        ).reshape(b, s)
+        # where, not multiply: 0 * (-inf) would poison the weights.
+        log_w = log_w + jnp.where(ev_mask[idx] > 0, lp, 0.0)
+    return jnp.concatenate(vals, axis=-1), constrain_bs(log_w)
+
+
+def dynamic_target_values(
+    plan: InferencePlan, packed: jax.Array, target_idx: jax.Array
+) -> jax.Array:
+    """packed [B,S,total] -> the target node's block, [B, S, max_dim].
+
+    One-hot contraction from the plan's static offset/dim tables; columns
+    beyond the target's true dim are zero (the caller slices them off
+    host-side where the target is known).
+    """
+    offs = jnp.asarray(np.array(plan.node_offsets, np.int32))
+    dims = jnp.asarray(np.array(plan.node_dims, np.int32))
+    t_off = offs[target_idx]
+    t_dim = dims[target_idx]
+    max_d = int(max(plan.node_dims))
+    total = plan.total_dim
+    iota_t = jnp.arange(total, dtype=jnp.int32)[:, None]
+    iota_m = jnp.arange(max_d, dtype=jnp.int32)[None, :]
+    sel = jnp.logical_and(
+        iota_t == t_off + iota_m, iota_m < t_dim
+    ).astype(packed.dtype)
+    return jax.lax.dot_general(
+        packed, sel, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )

@@ -11,12 +11,16 @@ program; the softmax over the particle axis is the reduction that becomes a
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
 from ..core.base import Query
-from ..core.plan import pack_fixed_values
+from ..core.plan import get_plan, pack_fixed_values
 from ..core.registry import register_inference
+from ..core.utils import infer_batch_size
 from ._base import CompiledMethod, Program
+from ._dynamic_sweep import dynamic_sweep_trace, dynamic_target_values
 from ._sweep import node_values, sweep_trace
 
 
@@ -27,17 +31,102 @@ class LikelihoodWeighting(CompiledMethod):
         n_samples: int = 200,
         eps: float = 1e-12,
         normalize: bool = True,
+        dynamic_masks: bool = False,
         **_kwargs,
     ) -> None:
         super().__init__()
         self.n_samples = int(n_samples)
         self.eps = float(eps)
         self.normalize = bool(normalize)
+        # dynamic_masks: ONE compiled program per network — evidence/do
+        # masks and the target become runtime inputs (see
+        # _dynamic_sweep.py). Turn on for workloads with many distinct
+        # evidence patterns, where per-skeleton compiles dominate.
+        self.dynamic_masks = bool(dynamic_masks)
         self._last_ess = None
+
+    def _weights_from_logw(self, log_w, normalize):
+        weights = jnp.exp(log_w - jnp.max(log_w, axis=1, keepdims=True))
+        if normalize:
+            weights = weights / jnp.maximum(
+                jnp.sum(weights, axis=1, keepdims=True), self.eps
+            )
+        ess = 1.0 / jnp.maximum(
+            jnp.sum(
+                (
+                    weights
+                    / jnp.maximum(
+                        jnp.sum(weights, axis=1, keepdims=True), self.eps
+                    )
+                )
+                ** 2,
+                axis=1,
+            ),
+            self.eps,
+        )
+        return weights, ess
+
+    def _make_dynamic_program(self, vbn, query: Query, s, normalize):
+        """Query structure as runtime inputs; one compile per network.
+
+        Programs are keyed by (S, normalize, padded batch bucket) only —
+        the evidence/do masks, their values, and the target index cross
+        as arrays. Latent draws match the static program bit-for-bit at
+        equal (B, S) (same per-node key folds).
+        """
+        topo = tuple(vbn.dag.topological_order())
+        plan = get_plan(vbn, Query(target=topo[0], evidence={}, do={}))
+        cpds = self._cpds(vbn, plan)
+        b = infer_batch_size(query.evidence, query.do)
+        b_pad = 1 << max(0, (b - 1)).bit_length()  # pow2 batch buckets
+        fixed = pack_fixed_values(query, plan, b, clamp_obs=True)
+        if b_pad != b:
+            fixed = np.concatenate(
+                [fixed, np.zeros((b_pad - b, fixed.shape[1]), np.float32)],
+                axis=0,
+            )
+        node_to_idx = plan.node_to_idx()
+        ev_mask = np.zeros((plan.n_nodes,), np.float32)
+        for n in query.evidence:
+            ev_mask[node_to_idx[n]] = 1.0
+        do_mask = np.zeros((plan.n_nodes,), np.float32)
+        for n in query.do:
+            do_mask[node_to_idx[n]] = 1.0
+        t_idx = node_to_idx[query.target]
+        t_dim = plan.node_dims[t_idx]
+
+        def fn(params_tuple, key, packed_in):
+            fixed_vals, evm, dom, ti = packed_in
+            packed, log_w = dynamic_sweep_trace(
+                plan, cpds, params_tuple, key, fixed_vals, evm, dom, s
+            )
+            weights, ess = self._weights_from_logw(log_w, normalize)
+            return weights, dynamic_target_values(plan, packed, ti), ess
+
+        def post(outs):
+            weights, samples, ess = outs
+            self._last_ess = ess[:b]
+            return weights[:b], samples[:b, :, :t_dim]
+
+        return Program(
+            plan,
+            ("lw_dyn", s, normalize, b_pad),
+            fn,
+            self._params_tuple(vbn, plan),
+            (
+                fixed,
+                ev_mask,
+                do_mask,
+                np.int32(t_idx),
+            ),
+            post,
+        )
 
     def make_program(self, vbn, query: Query, **kwargs):
         s = int(kwargs.get("n_samples", self.n_samples))
         normalize = bool(kwargs.get("normalize", self.normalize))
+        if bool(kwargs.get("dynamic_masks", self.dynamic_masks)):
+            return self._make_dynamic_program(vbn, query, s, normalize)
         plan, b = self._plan_and_batch(vbn, query)
         fixed = pack_fixed_values(query, plan, b, clamp_obs=True)
         cpds = self._cpds(vbn, plan)
