@@ -117,8 +117,15 @@ def discrete_sweep_trace(
     n_samples: int,
     *,
     weighted: bool = False,
+    ev_mask_arr=None,  # [N] f32 runtime evidence mask (overrides the plan)
+    fx_mask_arr=None,  # [N] f32 runtime evidence|do mask
 ) -> Tuple[jax.Array, jax.Array]:
-    """Drop-in scan-form replacement for ``sweep_trace`` (same contract)."""
+    """Drop-in scan-form replacement for ``sweep_trace`` (same contract).
+
+    With ``ev_mask_arr``/``fx_mask_arr`` the masks become runtime inputs
+    (mask-dynamic programs): the scan step already indexes them
+    dynamically, so the compiled program is identical in structure.
+    """
     tables = _static_tables(plan, cpds)
     log_cpt = _stacked_log_cpt(cpds, params_tuple, tables["cmax"])
     b = fixed.shape[0]
@@ -138,8 +145,12 @@ def discrete_sweep_trace(
     parent_ids = tables["parent_ids"]
     strides = tables["strides"]
     row_offset = tables["row_offset"]
-    ev_mask = tables["evidence_mask"]
-    fx_mask = tables["fixed_mask"]
+    ev_mask = (
+        tables["evidence_mask"] if ev_mask_arr is None else ev_mask_arr > 0
+    )
+    fx_mask = (
+        tables["fixed_mask"] if fx_mask_arr is None else fx_mask_arr > 0
+    )
 
     # Per-node table lookup strategy: when every node's parent-state count
     # is small, slice the node's table block and contract with a one-hot of

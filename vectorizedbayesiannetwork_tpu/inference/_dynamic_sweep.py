@@ -44,6 +44,34 @@ def dynamic_sweep_trace(
     n_samples: int,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (packed [B,S,total_dim], log_weights [B,S])."""
+    from ._sweep import _use_discrete_scan
+
+    if _use_discrete_scan(plan.n_nodes):
+        # Scan-form sweeps index their mask tables dynamically already, so
+        # the mask-dynamic variants are the SAME compiled structure — one
+        # O(1)-compile program covering a 1000-node network AND every
+        # evidence pattern on it.
+        from ._discrete_sweep import (
+            discrete_sweep_supported,
+            discrete_sweep_trace,
+        )
+
+        fx = jnp.maximum(ev_mask, do_mask)
+        if discrete_sweep_supported(plan, cpds):
+            return discrete_sweep_trace(
+                plan, cpds, params_tuple, key, fixed, n_samples,
+                weighted=True, ev_mask_arr=ev_mask, fx_mask_arr=fx,
+            )
+        from ._gaussian_sweep import (
+            gaussian_sweep_supported,
+            gaussian_sweep_trace,
+        )
+
+        if gaussian_sweep_supported(plan, cpds):
+            return gaussian_sweep_trace(
+                plan, cpds, params_tuple, key, fixed, n_samples,
+                weighted=True, ev_mask_arr=ev_mask, fx_mask_arr=fx,
+            )
     b = fixed.shape[0]
     s = n_samples
     m = b * s

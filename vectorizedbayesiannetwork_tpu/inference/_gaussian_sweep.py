@@ -44,8 +44,14 @@ def gaussian_sweep_trace(
     n_samples: int,
     *,
     weighted: bool = False,
+    ev_mask_arr=None,  # [N] f32 runtime evidence mask (overrides the plan)
+    fx_mask_arr=None,  # [N] f32 runtime evidence|do mask
 ) -> Tuple[jax.Array, jax.Array]:
-    """Drop-in scan-form replacement for ``sweep_trace`` (same contract)."""
+    """Drop-in scan-form replacement for ``sweep_trace`` (same contract).
+
+    With ``ev_mask_arr``/``fx_mask_arr`` the masks become runtime inputs
+    (mask-dynamic programs).
+    """
     n = plan.n_nodes
     b = fixed.shape[0]
     s = n_samples
@@ -60,10 +66,16 @@ def gaussian_sweep_trace(
         pmask[i, : len(pidx)] = 1.0
     parent_ids = jnp.asarray(parent_ids)
     pmask = jnp.asarray(pmask)
-    ev_mask = jnp.asarray(np.asarray(plan.evidence_mask))
-    fx_mask = jnp.asarray(
-        np.asarray([plan.is_fixed(i) for i in range(n)], bool)
-    )
+    if ev_mask_arr is not None:
+        ev_mask = ev_mask_arr > 0
+    else:
+        ev_mask = jnp.asarray(np.asarray(plan.evidence_mask))
+    if fx_mask_arr is not None:
+        fx_mask = fx_mask_arr > 0
+    else:
+        fx_mask = jnp.asarray(
+            np.asarray([plan.is_fixed(i) for i in range(n)], bool)
+        )
 
     # Stacked padded parameters (trace-time pytree ops on device).
     w_rows = []
