@@ -142,3 +142,26 @@ def test_dynamic_masks_on_scan_form(monkeypatch):
         gt = exact_posterior(bn, target, ev)
         np.testing.assert_allclose(pmf, gt, atol=0.06)
     assert len(method._fn_cache) == 1
+
+
+def test_heterogeneous_row_fused_dispatch(vbn):
+    """Mixed targets/evidence patterns in ONE row-fused dispatch match the
+    per-query dynamic answers."""
+    vbn.set_inference_method(
+        "likelihood_weighting", n_samples=S, dynamic_masks=True
+    )
+    outs = vbn.infer_posterior_many(QUERIES[:3])
+    assert len(outs) == 3
+    for (pdf, samp), q in zip(outs, QUERIES[:3]):
+        b = len(next(iter(q["evidence"].values()))) if q["evidence"] else 1
+        assert pdf.shape[0] == b and np.isfinite(np.asarray(pdf)).all()
+    # row-fused posterior means match analytic values for the first query
+    pdf, samp = outs[0]
+    w = np.asarray(pdf)
+    m = (w / w.sum(1, keepdims=True) * np.asarray(samp)[..., 0]).sum(1)
+    np.testing.assert_allclose(m, [0.5, -0.2], atol=0.07)
+    # single dispatch: one cached fused program for the whole mix
+    method = vbn._inference
+    method._fn_cache.clear()
+    vbn.infer_posterior_many(QUERIES[:3])
+    assert len(method._fn_cache) == 1

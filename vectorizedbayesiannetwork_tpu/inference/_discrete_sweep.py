@@ -117,8 +117,8 @@ def discrete_sweep_trace(
     n_samples: int,
     *,
     weighted: bool = False,
-    ev_mask_arr=None,  # [N] f32 runtime evidence mask (overrides the plan)
-    fx_mask_arr=None,  # [N] f32 runtime evidence|do mask
+    ev_mask_arr=None,  # [B, N] f32 runtime evidence mask (overrides plan)
+    fx_mask_arr=None,  # [B, N] f32 runtime evidence|do mask
 ) -> Tuple[jax.Array, jax.Array]:
     """Drop-in scan-form replacement for ``sweep_trace`` (same contract).
 
@@ -145,12 +145,15 @@ def discrete_sweep_trace(
     parent_ids = tables["parent_ids"]
     strides = tables["strides"]
     row_offset = tables["row_offset"]
-    ev_mask = (
-        tables["evidence_mask"] if ev_mask_arr is None else ev_mask_arr > 0
-    )
-    fx_mask = (
-        tables["fixed_mask"] if fx_mask_arr is None else fx_mask_arr > 0
-    )
+    # Runtime masks are per row ([B, N], heterogeneous fused batches);
+    # transpose to [N, B] so the scan step indexes node-major. Plan masks
+    # broadcast as [N, 1].
+    if ev_mask_arr is None:
+        ev_mask = tables["evidence_mask"][:, None]
+        fx_mask = tables["fixed_mask"][:, None]
+    else:
+        ev_mask = (ev_mask_arr > 0).T
+        fx_mask = (fx_mask_arr > 0).T
 
     # Per-node table lookup strategy: when every node's parent-state count
     # is small, slice the node's table block and contract with a one-hot of
@@ -183,7 +186,8 @@ def discrete_sweep_trace(
         g = jax.random.gumbel(skey, (b, s, cmax), dtype=jnp.float32)
         sampled = jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
         fixed_i = fixed_idx[:, i][:, None]  # [B, 1]
-        value = jnp.where(fx_mask[i], fixed_i, sampled)  # [B, S]
+        fx_i = jax.lax.dynamic_index_in_dim(fx_mask, i, 0, False)  # [B]|[1]
+        value = jnp.where(fx_i[:, None], fixed_i, sampled)  # [B, S]
         value = constrain_bs(value)
         states = jax.lax.dynamic_update_index_in_dim(
             states, value, i, axis=-1
@@ -191,7 +195,10 @@ def discrete_sweep_trace(
         if weighted:
             vsel = jax.nn.one_hot(value, cmax, dtype=logits.dtype)
             lp_val = jnp.sum(vsel * logits, axis=-1)
-            logw = constrain_bs(logw + jnp.where(ev_mask[i], lp_val, 0.0))
+            ev_i = jax.lax.dynamic_index_in_dim(ev_mask, i, 0, False)
+            logw = constrain_bs(
+                logw + jnp.where(ev_i[:, None], lp_val, 0.0)
+            )
         return (states, logw), None
 
     (states, logw), _ = jax.lax.scan(

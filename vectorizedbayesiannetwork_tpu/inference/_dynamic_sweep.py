@@ -39,11 +39,15 @@ def dynamic_sweep_trace(
     params_tuple: Tuple,
     key: jax.Array,
     fixed: jax.Array,  # [B, total_dim] packed evidence/do values
-    ev_mask: jax.Array,  # [n_nodes] f32 (1 = evidence: clamp + weight)
-    do_mask: jax.Array,  # [n_nodes] f32 (1 = do: clamp, no weight)
+    ev_mask: jax.Array,  # [B, n_nodes] f32 (1 = evidence: clamp + weight)
+    do_mask: jax.Array,  # [B, n_nodes] f32 (1 = do: clamp, no weight)
     n_samples: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (packed [B,S,total_dim], log_weights [B,S])."""
+    """Returns (packed [B,S,total_dim], log_weights [B,S]).
+
+    Masks are PER ROW, so one dispatch can mix arbitrary query skeletons
+    (heterogeneous fused batches).
+    """
     from ._sweep import _use_discrete_scan
 
     if _use_discrete_scan(plan.n_nodes):
@@ -90,38 +94,39 @@ def dynamic_sweep_trace(
             params_tuple[idx], fold(key, idx), pflat, m
         ).reshape(b, s, d)
         fixed_b = jnp.broadcast_to(fixed[:, None, off : off + d], (b, s, d))
-        m_fix = jnp.maximum(ev_mask[idx], do_mask[idx])
-        v = jnp.where(m_fix > 0, fixed_b, sampled)
+        m_fix = jnp.maximum(ev_mask[:, idx], do_mask[:, idx])  # [B]
+        v = jnp.where(m_fix[:, None, None] > 0, fixed_b, sampled)
         vals[idx] = constrain_bsd(v)
         lp = cpds[idx]._log_prob_flat(
             params_tuple[idx], v.reshape(m, d), pflat
         ).reshape(b, s)
         # where, not multiply: 0 * (-inf) would poison the weights.
-        log_w = log_w + jnp.where(ev_mask[idx] > 0, lp, 0.0)
+        log_w = log_w + jnp.where(ev_mask[:, idx][:, None] > 0, lp, 0.0)
     return jnp.concatenate(vals, axis=-1), constrain_bs(log_w)
 
 
 def dynamic_target_values(
     plan: InferencePlan, packed: jax.Array, target_idx: jax.Array
 ) -> jax.Array:
-    """packed [B,S,total] -> the target node's block, [B, S, max_dim].
+    """packed [B,S,total] -> each row's target block, [B, S, max_dim].
 
-    One-hot contraction from the plan's static offset/dim tables; columns
-    beyond the target's true dim are zero (the caller slices them off
-    host-side where the target is known).
+    ``target_idx`` is PER ROW [B] (heterogeneous fused batches). One-hot
+    contraction from the plan's static offset/dim tables; columns beyond
+    a row's true target dim are zero (the caller slices host-side).
     """
     offs = jnp.asarray(np.array(plan.node_offsets, np.int32))
     dims = jnp.asarray(np.array(plan.node_dims, np.int32))
-    t_off = offs[target_idx]
-    t_dim = dims[target_idx]
+    t_off = offs[target_idx]  # [B]
+    t_dim = dims[target_idx]  # [B]
     max_d = int(max(plan.node_dims))
     total = plan.total_dim
-    iota_t = jnp.arange(total, dtype=jnp.int32)[:, None]
-    iota_m = jnp.arange(max_d, dtype=jnp.int32)[None, :]
+    iota_t = jnp.arange(total, dtype=jnp.int32)[None, :, None]
+    iota_m = jnp.arange(max_d, dtype=jnp.int32)[None, None, :]
     sel = jnp.logical_and(
-        iota_t == t_off + iota_m, iota_m < t_dim
-    ).astype(packed.dtype)
-    return jax.lax.dot_general(
-        packed, sel, (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        iota_t == t_off[:, None, None] + iota_m,
+        iota_m < t_dim[:, None, None],
+    ).astype(packed.dtype)  # [B, total, max_d]
+    return jnp.einsum(
+        "bst,btm->bsm", packed, sel,
+        precision=jax.lax.Precision.HIGHEST,
     )

@@ -44,8 +44,8 @@ def gaussian_sweep_trace(
     n_samples: int,
     *,
     weighted: bool = False,
-    ev_mask_arr=None,  # [N] f32 runtime evidence mask (overrides the plan)
-    fx_mask_arr=None,  # [N] f32 runtime evidence|do mask
+    ev_mask_arr=None,  # [B, N] f32 runtime evidence mask (overrides plan)
+    fx_mask_arr=None,  # [B, N] f32 runtime evidence|do mask
 ) -> Tuple[jax.Array, jax.Array]:
     """Drop-in scan-form replacement for ``sweep_trace`` (same contract).
 
@@ -67,15 +67,15 @@ def gaussian_sweep_trace(
     parent_ids = jnp.asarray(parent_ids)
     pmask = jnp.asarray(pmask)
     if ev_mask_arr is not None:
-        ev_mask = ev_mask_arr > 0
+        ev_mask = (ev_mask_arr > 0).T  # [N, B] node-major for the scan
     else:
-        ev_mask = jnp.asarray(np.asarray(plan.evidence_mask))
+        ev_mask = jnp.asarray(np.asarray(plan.evidence_mask))[:, None]
     if fx_mask_arr is not None:
-        fx_mask = fx_mask_arr > 0
+        fx_mask = (fx_mask_arr > 0).T
     else:
         fx_mask = jnp.asarray(
             np.asarray([plan.is_fixed(i) for i in range(n)], bool)
-        )
+        )[:, None]
 
     # Stacked padded parameters (trace-time pytree ops on device).
     w_rows = []
@@ -112,7 +112,7 @@ def gaussian_sweep_trace(
         loc = jnp.sum(pvals * (w_i * pm_i)[None, None, :], axis=-1) + bias[i]
         sampled = loc + scale[i] * eps_i
         fixed_i = fixed[:, i][:, None]  # [B, 1] (node offsets == index)
-        value = jnp.where(fx_mask[i], fixed_i, sampled)
+        value = jnp.where(fx_mask[i][:, None], fixed_i, sampled)
         value = constrain_bs(value)
         states = jax.lax.dynamic_update_index_in_dim(
             states, value, i, axis=-1
@@ -120,7 +120,9 @@ def gaussian_sweep_trace(
         if weighted:
             z = (value - loc) / scale[i]
             lp = -0.5 * (z * z + LOG_2PI) - jnp.log(scale[i])
-            logw = constrain_bs(logw + jnp.where(ev_mask[i], lp, 0.0))
+            logw = constrain_bs(
+                logw + jnp.where(ev_mask[i][:, None], lp, 0.0)
+            )
         return (states, logw), None
 
     (states, logw), _ = jax.lax.scan(

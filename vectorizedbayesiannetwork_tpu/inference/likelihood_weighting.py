@@ -86,13 +86,14 @@ class LikelihoodWeighting(CompiledMethod):
                 axis=0,
             )
         node_to_idx = plan.node_to_idx()
-        ev_mask = np.zeros((plan.n_nodes,), np.float32)
+        ev_mask = np.zeros((b_pad, plan.n_nodes), np.float32)
         for n in query.evidence:
-            ev_mask[node_to_idx[n]] = 1.0
-        do_mask = np.zeros((plan.n_nodes,), np.float32)
+            ev_mask[:b, node_to_idx[n]] = 1.0
+        do_mask = np.zeros((b_pad, plan.n_nodes), np.float32)
         for n in query.do:
-            do_mask[node_to_idx[n]] = 1.0
+            do_mask[:b, node_to_idx[n]] = 1.0
         t_idx = node_to_idx[query.target]
+        t_arr = np.full((b_pad,), t_idx, np.int32)
         t_dim = plan.node_dims[t_idx]
 
         def fn(params_tuple, key, packed_in):
@@ -113,14 +114,82 @@ class LikelihoodWeighting(CompiledMethod):
             ("lw_dyn", s, normalize, b_pad),
             fn,
             self._params_tuple(vbn, plan),
-            (
-                fixed,
-                ev_mask,
-                do_mask,
-                np.int32(t_idx),
-            ),
+            (fixed, ev_mask, do_mask, t_arr),
             post,
         )
+
+    def infer_posterior_many(self, vbn, queries, **kwargs):
+        """Heterogeneous row-fused dispatch (dynamic mode): ANY mix of
+        targets/evidence patterns rides ONE sweep — queries' rows are
+        concatenated, per-row masks and target indices cross as arrays,
+        and outputs are split back per query. Falls back to the generic
+        program-tuple fusion otherwise."""
+        if not bool(kwargs.get("dynamic_masks", self.dynamic_masks)):
+            return super().infer_posterior_many(vbn, queries, **kwargs)
+        s = int(kwargs.get("n_samples", self.n_samples))
+        normalize = bool(kwargs.get("normalize", self.normalize))
+        topo = tuple(vbn.dag.topological_order())
+        plan = get_plan(vbn, Query(target=topo[0], evidence={}, do={}))
+        cpds = self._cpds(vbn, plan)
+        node_to_idx = plan.node_to_idx()
+        rows, evs, dos, tgts, spans = [], [], [], [], []
+        at = 0
+        for q in queries:
+            b = infer_batch_size(q.evidence, q.do)
+            rows.append(pack_fixed_values(q, plan, b, clamp_obs=True))
+            ev = np.zeros((b, plan.n_nodes), np.float32)
+            for n in q.evidence:
+                ev[:, node_to_idx[n]] = 1.0
+            do = np.zeros((b, plan.n_nodes), np.float32)
+            for n in q.do:
+                do[:, node_to_idx[n]] = 1.0
+            evs.append(ev)
+            dos.append(do)
+            tgts.append(
+                np.full((b,), node_to_idx[q.target], np.int32)
+            )
+            spans.append((at, at + b, node_to_idx[q.target]))
+            at += b
+        b_tot = at
+        b_pad = 1 << max(0, (b_tot - 1)).bit_length()
+        pad = b_pad - b_tot
+        fixed = np.concatenate(
+            rows + [np.zeros((pad, plan.total_dim), np.float32)], axis=0
+        ) if pad else np.concatenate(rows, axis=0)
+        ev_mask = np.concatenate(
+            evs + ([np.zeros((pad, plan.n_nodes), np.float32)] if pad else []),
+            axis=0,
+        )
+        do_mask = np.concatenate(
+            dos + ([np.zeros((pad, plan.n_nodes), np.float32)] if pad else []),
+            axis=0,
+        )
+        t_arr = np.concatenate(
+            tgts + ([np.zeros((pad,), np.int32)] if pad else []), axis=0
+        )
+
+        def fn(params_tuple, key, packed_in):
+            fixed_vals, evm, dom, ti = packed_in
+            packed, log_w = dynamic_sweep_trace(
+                plan, cpds, params_tuple, key, fixed_vals, evm, dom, s
+            )
+            weights, ess = self._weights_from_logw(log_w, normalize)
+            return weights, dynamic_target_values(plan, packed, ti), ess
+
+        prog_fn = self._compiled(
+            vbn, plan, ("lw_dyn", s, normalize, b_pad), lambda: fn
+        )
+        weights, samples, ess = prog_fn(
+            self._params_tuple(vbn, plan),
+            vbn.next_key_spec(),
+            (fixed, ev_mask, do_mask, t_arr),
+        )
+        self._last_ess = ess[:b_tot]
+        out = []
+        for lo, hi, t_idx in spans:
+            d = plan.node_dims[t_idx]
+            out.append((weights[lo:hi], samples[lo:hi, :, :d]))
+        return out
 
     def make_program(self, vbn, query: Query, **kwargs):
         s = int(kwargs.get("n_samples", self.n_samples))
