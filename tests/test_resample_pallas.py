@@ -149,3 +149,31 @@ def test_multinomial_resample_gather_distribution():
     for i, p in enumerate(probs):
         # multinomial sd = sqrt(S p (1-p)) ~ 22 at S=2048; allow 5 sd
         assert np.abs(counts[:, i] - S * p).max() < 5 * np.sqrt(S * p * (1 - p))
+
+
+def test_high_u0_never_emits_padding():
+    """Positions that would round to 1.0 in f32 must still pick a REAL
+    particle (regression: the merge walk ran into the 2.0-CDF padding and
+    emitted a zero vector when (S-1+u0)/S rounded up to exactly 1.0)."""
+    key = jax.random.PRNGKey(0)
+    S2 = 1 << 16
+    # deterministically find a key whose u0 makes (S-1+u0)/S round to 1.0
+    thr = 1.0 - S2 * 2.0**-25
+    trigger = None
+    for i in range(4096):
+        k = jax.random.fold_in(key, i)
+        u0 = np.asarray(jax.random.uniform(k, (2, 1), jnp.float32))
+        if (u0 >= thr).any():
+            pos = np.float32((S2 - 1 + u0.max()) / S2)
+            if pos >= 1.0:
+                trigger = k
+                break
+    assert trigger is not None, "no triggering key found"
+    w = jnp.full((2, S2), 1.0 / S2)
+    vals = jnp.broadcast_to(
+        jnp.arange(1, S2 + 1, dtype=jnp.float32)[None, :, None], (2, S2, 1)
+    )  # strictly positive: a zero output exposes the padding bug
+    got = systematic_resample_gather(trigger, w, vals, interpret=True)
+    want = systematic_resample_gather_xla(trigger, w, vals)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert float(np.min(np.asarray(got))) >= 1.0

@@ -66,71 +66,14 @@ class LikelihoodWeighting(CompiledMethod):
         )
         return weights, ess
 
-    def _make_dynamic_program(self, vbn, query: Query, s, normalize):
-        """Query structure as runtime inputs; one compile per network.
+    def _pack_dynamic_inputs(self, plan, queries):
+        """Concat queries' rows + per-row masks/targets, pow2-padded.
 
-        Programs are keyed by (S, normalize, padded batch bucket) only —
-        the evidence/do masks, their values, and the target index cross
-        as arrays. Latent draws match the static program bit-for-bit at
-        equal (B, S) (same per-node key folds).
+        Returns (inputs_tuple, spans, b_tot, b_pad) where spans is
+        [(lo, hi, target_idx)] per query. Shared by the single-query
+        dynamic program and the heterogeneous row-fused dispatch so the
+        two paths can never drift.
         """
-        topo = tuple(vbn.dag.topological_order())
-        plan = get_plan(vbn, Query(target=topo[0], evidence={}, do={}))
-        cpds = self._cpds(vbn, plan)
-        b = infer_batch_size(query.evidence, query.do)
-        b_pad = 1 << max(0, (b - 1)).bit_length()  # pow2 batch buckets
-        fixed = pack_fixed_values(query, plan, b, clamp_obs=True)
-        if b_pad != b:
-            fixed = np.concatenate(
-                [fixed, np.zeros((b_pad - b, fixed.shape[1]), np.float32)],
-                axis=0,
-            )
-        node_to_idx = plan.node_to_idx()
-        ev_mask = np.zeros((b_pad, plan.n_nodes), np.float32)
-        for n in query.evidence:
-            ev_mask[:b, node_to_idx[n]] = 1.0
-        do_mask = np.zeros((b_pad, plan.n_nodes), np.float32)
-        for n in query.do:
-            do_mask[:b, node_to_idx[n]] = 1.0
-        t_idx = node_to_idx[query.target]
-        t_arr = np.full((b_pad,), t_idx, np.int32)
-        t_dim = plan.node_dims[t_idx]
-
-        def fn(params_tuple, key, packed_in):
-            fixed_vals, evm, dom, ti = packed_in
-            packed, log_w = dynamic_sweep_trace(
-                plan, cpds, params_tuple, key, fixed_vals, evm, dom, s
-            )
-            weights, ess = self._weights_from_logw(log_w, normalize)
-            return weights, dynamic_target_values(plan, packed, ti), ess
-
-        def post(outs):
-            weights, samples, ess = outs
-            self._last_ess = ess[:b]
-            return weights[:b], samples[:b, :, :t_dim]
-
-        return Program(
-            plan,
-            ("lw_dyn", s, normalize, b_pad),
-            fn,
-            self._params_tuple(vbn, plan),
-            (fixed, ev_mask, do_mask, t_arr),
-            post,
-        )
-
-    def infer_posterior_many(self, vbn, queries, **kwargs):
-        """Heterogeneous row-fused dispatch (dynamic mode): ANY mix of
-        targets/evidence patterns rides ONE sweep — queries' rows are
-        concatenated, per-row masks and target indices cross as arrays,
-        and outputs are split back per query. Falls back to the generic
-        program-tuple fusion otherwise."""
-        if not bool(kwargs.get("dynamic_masks", self.dynamic_masks)):
-            return super().infer_posterior_many(vbn, queries, **kwargs)
-        s = int(kwargs.get("n_samples", self.n_samples))
-        normalize = bool(kwargs.get("normalize", self.normalize))
-        topo = tuple(vbn.dag.topological_order())
-        plan = get_plan(vbn, Query(target=topo[0], evidence={}, do={}))
-        cpds = self._cpds(vbn, plan)
         node_to_idx = plan.node_to_idx()
         rows, evs, dos, tgts, spans = [], [], [], [], []
         at = 0
@@ -145,28 +88,27 @@ class LikelihoodWeighting(CompiledMethod):
                 do[:, node_to_idx[n]] = 1.0
             evs.append(ev)
             dos.append(do)
-            tgts.append(
-                np.full((b,), node_to_idx[q.target], np.int32)
-            )
+            tgts.append(np.full((b,), node_to_idx[q.target], np.int32))
             spans.append((at, at + b, node_to_idx[q.target]))
             at += b
         b_tot = at
         b_pad = 1 << max(0, (b_tot - 1)).bit_length()
         pad = b_pad - b_tot
-        fixed = np.concatenate(
-            rows + [np.zeros((pad, plan.total_dim), np.float32)], axis=0
-        ) if pad else np.concatenate(rows, axis=0)
-        ev_mask = np.concatenate(
-            evs + ([np.zeros((pad, plan.n_nodes), np.float32)] if pad else []),
-            axis=0,
+        if pad:
+            rows.append(np.zeros((pad, plan.total_dim), np.float32))
+            evs.append(np.zeros((pad, plan.n_nodes), np.float32))
+            dos.append(np.zeros((pad, plan.n_nodes), np.float32))
+            tgts.append(np.zeros((pad,), np.int32))
+        inputs = (
+            np.concatenate(rows, axis=0),
+            np.concatenate(evs, axis=0),
+            np.concatenate(dos, axis=0),
+            np.concatenate(tgts, axis=0),
         )
-        do_mask = np.concatenate(
-            dos + ([np.zeros((pad, plan.n_nodes), np.float32)] if pad else []),
-            axis=0,
-        )
-        t_arr = np.concatenate(
-            tgts + ([np.zeros((pad,), np.int32)] if pad else []), axis=0
-        )
+        return inputs, spans, b_tot, b_pad
+
+    def _dynamic_fn(self, plan, cpds, s, normalize):
+        """The one mask-dynamic program body (single + row-fused paths)."""
 
         def fn(params_tuple, key, packed_in):
             fixed_vals, evm, dom, ti = packed_in
@@ -176,13 +118,62 @@ class LikelihoodWeighting(CompiledMethod):
             weights, ess = self._weights_from_logw(log_w, normalize)
             return weights, dynamic_target_values(plan, packed, ti), ess
 
+        return fn
+
+    def _canonical_plan(self, vbn):
+        topo = tuple(vbn.dag.topological_order())
+        return get_plan(vbn, Query(target=topo[0], evidence={}, do={}))
+
+    def _make_dynamic_program(self, vbn, query: Query, s, normalize):
+        """Query structure as runtime inputs; one compile per network.
+
+        Programs are keyed by (S, normalize, padded batch bucket) only —
+        the evidence/do masks, their values, and the target index cross
+        as arrays. Latent draws match the static program bit-for-bit at
+        equal (B, S) (same per-node key folds).
+        """
+        plan = self._canonical_plan(vbn)
+        cpds = self._cpds(vbn, plan)
+        inputs, spans, b, b_pad = self._pack_dynamic_inputs(plan, [query])
+        t_dim = plan.node_dims[spans[0][2]]
+
+        def post(outs):
+            weights, samples, ess = outs
+            self._last_ess = ess[:b]
+            return weights[:b], samples[:b, :, :t_dim]
+
+        return Program(
+            plan,
+            ("lw_dyn", s, normalize, b_pad),
+            self._dynamic_fn(plan, cpds, s, normalize),
+            self._params_tuple(vbn, plan),
+            inputs,
+            post,
+        )
+
+    def infer_posterior_many(self, vbn, queries, **kwargs):
+        """Heterogeneous row-fused dispatch (dynamic mode): ANY mix of
+        targets/evidence patterns rides ONE sweep — queries' rows are
+        concatenated, per-row masks and target indices cross as arrays,
+        and outputs are split back per query. Falls back to the generic
+        program-tuple fusion otherwise."""
+        if not bool(kwargs.get("dynamic_masks", self.dynamic_masks)):
+            return super().infer_posterior_many(vbn, queries, **kwargs)
+        s = int(kwargs.get("n_samples", self.n_samples))
+        normalize = bool(kwargs.get("normalize", self.normalize))
+        plan = self._canonical_plan(vbn)
+        cpds = self._cpds(vbn, plan)
+        inputs, spans, b_tot, b_pad = self._pack_dynamic_inputs(
+            plan, queries
+        )
         prog_fn = self._compiled(
-            vbn, plan, ("lw_dyn", s, normalize, b_pad), lambda: fn
+            vbn,
+            plan,
+            ("lw_dyn", s, normalize, b_pad),
+            lambda: self._dynamic_fn(plan, cpds, s, normalize),
         )
         weights, samples, ess = prog_fn(
-            self._params_tuple(vbn, plan),
-            vbn.next_key_spec(),
-            (fixed, ev_mask, do_mask, t_arr),
+            self._params_tuple(vbn, plan), vbn.next_key_spec(), inputs
         )
         self._last_ess = ess[:b_tot]
         out = []
@@ -205,27 +196,7 @@ class LikelihoodWeighting(CompiledMethod):
             packed, log_w = sweep_trace(
                 plan, cpds, params_tuple, key, fixed_vals, s, weighted=True
             )
-            if normalize:
-                weights = jnp.exp(
-                    log_w - jnp.max(log_w, axis=1, keepdims=True)
-                )
-                weights = weights / jnp.maximum(
-                    jnp.sum(weights, axis=1, keepdims=True), self.eps
-                )
-            else:
-                weights = jnp.exp(
-                    log_w - jnp.max(log_w, axis=1, keepdims=True)
-                )
-            ess = 1.0 / jnp.maximum(
-                jnp.sum(
-                    (weights / jnp.maximum(
-                        jnp.sum(weights, axis=1, keepdims=True), self.eps
-                    ))
-                    ** 2,
-                    axis=1,
-                ),
-                self.eps,
-            )
+            weights, ess = self._weights_from_logw(log_w, normalize)
             return weights, node_values(plan, packed, t), ess
 
         def post(outs):

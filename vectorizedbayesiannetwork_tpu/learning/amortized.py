@@ -313,51 +313,51 @@ class AmortizedLearner:
     def _interventional_rows(self, vbn, spec, rows, rng):
         """Mutilated-graph training rows: (values, obs_masks, do_masks).
 
-        One ancestral-joint call per random do-set; do values are
-        bootstrapped from the data marginals so they stay on-support.
+        ALL rows ride ONE mask-dynamic sweep (per-row do masks,
+        inference/_dynamic_sweep.py) — a single compile instead of one
+        per random do-set, and every row gets its own do-set. Do values
+        are bootstrapped from the data marginals so they stay on-support.
         """
-        from ..core.base import Query
-        from ..sampling.ancestral import AncestralSampler
+        import jax
 
-        sampler = AncestralSampler(n_samples=1)
-        n = rows.shape[0]
-        bsz = min(1024, n)
-        out_rows, out_masks, out_dos = [], [], []
-        for gi in range(self.n_do_sets):
-            size = int(rng.integers(1, max(2, spec.n_nodes // 2 + 1)))
-            do_idx = rng.choice(spec.n_nodes, size=size, replace=False)
-            do = {}
-            for i in do_idx:
-                off, d = spec.offsets[i], spec.dims[i]
-                picks = rng.integers(0, n, size=bsz)
-                do[spec.topo[i]] = rows[picks, off : off + d]
-            target = spec.topo[-1]
-            if spec.node_index(target) in do_idx:
-                target = spec.topo[0]
-            joint = sampler.sample_joint(
-                vbn,
-                Query(target=target, evidence={}, do=do),
-                n_samples=1,
-            )
-            vals = np.concatenate(
-                [np.asarray(joint[node])[:, 0, :] for node in spec.topo],
-                axis=-1,
-            ).astype(np.float32)
-            do_mask = np.zeros((bsz, spec.n_nodes), np.float32)
-            do_mask[:, do_idx] = 1.0
-            p_obs = rng.uniform(0.1, 0.9, size=(bsz, 1)).astype(np.float32)
-            obs = (rng.random((bsz, spec.n_nodes)) < p_obs).astype(
-                np.float32
-            )
-            obs = np.maximum(obs, do_mask)  # do'd values are always given
-            out_rows.append(vals)
-            out_masks.append(obs)
-            out_dos.append(do_mask)
-        return (
-            np.concatenate(out_rows, axis=0),
-            np.concatenate(out_masks, axis=0),
-            np.concatenate(out_dos, axis=0),
+        from ..core.base import Query
+        from ..core.plan import get_plan
+        from ..core.rng import fold
+        from ..inference._dynamic_sweep import dynamic_sweep_trace
+
+        plan = get_plan(
+            vbn, Query(target=spec.topo[0], evidence={}, do={})
         )
+        cpds = tuple(vbn.cpd_spec(n) for n in plan.topo_order)
+        params_tuple = tuple(vbn.params[n] for n in plan.topo_order)
+        n = rows.shape[0]
+        m = min(1024, n) * self.n_do_sets
+        # per-row do-sets: each node intervened with its row's probability
+        p_do = rng.uniform(0.1, 0.5, size=(m, 1)).astype(np.float32)
+        do_mask = (rng.random((m, spec.n_nodes)) < p_do).astype(np.float32)
+        # bootstrap do VALUES per node from the observed marginals
+        fixed = np.zeros((m, spec.total_dim), np.float32)
+        for i in range(spec.n_nodes):
+            off, d = spec.offsets[i], spec.dims[i]
+            picks = rng.integers(0, n, size=m)
+            fixed[:, off : off + d] = rows[picks, off : off + d]
+
+        def sweep(params, key, fx, dom):
+            packed, _ = dynamic_sweep_trace(
+                plan, cpds, params, key, fx, jnp.zeros_like(dom), dom, 1
+            )
+            return packed[:, 0, :]
+
+        vals = np.asarray(
+            jax.jit(sweep)(
+                params_tuple, fold(vbn.root_key, 999), fixed, do_mask
+            ),
+            np.float32,
+        )
+        p_obs = rng.uniform(0.1, 0.9, size=(m, 1)).astype(np.float32)
+        obs = (rng.random((m, spec.n_nodes)) < p_obs).astype(np.float32)
+        obs = np.maximum(obs, do_mask)  # do'd values are always given
+        return vals, obs, do_mask
 
     def fit(
         self,

@@ -49,6 +49,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .scan_pallas import cumsum_available, cumsum_pallas
 
+_POS_MAX = 1.0 - 2.0**-24  # largest f32 strictly below 1.0
+
 T = 512  # output positions per program instance
 W = 512  # input window rows (== T: a parked pointer has offset < W, so
 #          a two-window pair covers any non-crowded tile in one step)
@@ -171,8 +173,18 @@ def _srg_kernel(
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1).astype(
         jnp.float32
     )
-    u = (base + iota) * inv_s + u0s  # [1, T] sorted positions (lanes)
-    u_last = (base + jnp.float32(T - 1)) * inv_s + u0s
+    # Clamp below 1.0: at large S, (S-1+u0)/S can round UP to exactly 1.0
+    # in f32, and since the normalized CDF ends at exactly 1.0 the merge
+    # walk would run into the padding pair and emit a zero particle. The
+    # clamp keeps the kernel bit-identical to the XLA reference (which
+    # clamps the same way).
+    pos_max = jnp.float32(_POS_MAX)
+    u = jnp.minimum(
+        (base + iota) * inv_s + u0s, pos_max
+    )  # [1, T] sorted positions (lanes)
+    u_last = jnp.minimum(
+        (base + jnp.float32(T - 1)) * inv_s + u0s, pos_max
+    )
     uqs = [u[:, oq * _LB : (oq + 1) * _LB] for oq in range(T // _LB)]
     _resolve_tile(
         b, p_ref[b, k], uqs, u_last, blk0_ref, blk1_ref, blk_raw,
@@ -330,9 +342,15 @@ def systematic_resample_gather(
     # Tiny searchsorted (B * S/T queries) — same f32 position formula as
     # the kernel, so ranks are consistent bit-for-bit.
     k_tiles = s // T
-    u_grid = (
-        jnp.arange(k_tiles, dtype=jnp.float32)[None, :] * jnp.float32(T)
-    ) * inv_s + u0 * inv_s
+    u_grid = jnp.minimum(
+        (
+            jnp.arange(k_tiles, dtype=jnp.float32)[None, :]
+            * jnp.float32(T)
+        )
+        * inv_s
+        + u0 * inv_s,
+        jnp.float32(_POS_MAX),
+    )
     a0 = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(
         cum, u_grid
     )
@@ -374,9 +392,6 @@ def systematic_resample_gather(
         interpret=interpret,
     )(u0, p, blocks, blocks, blocks)
     return _unblock_out(out, b, s, dp, d).astype(values.dtype)
-
-
-_POS_MAX = 1.0 - 2.0**-24  # strictly below the normalized CDF's final 1.0
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -501,7 +516,10 @@ def systematic_resample_gather_xla(
     u0 = jax.random.uniform(key, (b, 1), jnp.float32)
     cum = _norm_cum(weights)
     inv_s = jnp.float32(1.0 / s)
-    u = jnp.arange(s, dtype=jnp.float32)[None, :] * inv_s + u0 * inv_s
+    u = jnp.minimum(
+        jnp.arange(s, dtype=jnp.float32)[None, :] * inv_s + u0 * inv_s,
+        jnp.float32(_POS_MAX),
+    )
     idx = jax.vmap(
         lambda c, p: jnp.searchsorted(c, p, side="right")
     )(cum, u)
