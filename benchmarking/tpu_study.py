@@ -76,6 +76,21 @@ def main() -> None:
         )
         dt = _measure(lambda: vbn.infer_posterior(q_diag))
         emit("linear_gaussian+ris(systematic)", s, dt)
+    vbn.set_inference_method(
+        "resampled_importance_sampling",
+        n_samples=1 << 20,
+        ess_threshold=0.5,
+        resample_method="multinomial",
+    )
+    dt = _measure(lambda: vbn.infer_posterior(q_diag))
+    emit("linear_gaussian+ris(multinomial)", 1 << 20, dt)
+    # Mask-dynamic LW: one program, every evidence pattern (serving for
+    # unpredictable query shapes; ~1.5-2x the static sweep's FLOPs).
+    vbn.set_inference_method(
+        "likelihood_weighting", n_samples=1 << 20, dynamic_masks=True
+    )
+    dt = _measure(lambda: vbn.infer_posterior(q_diag))
+    emit("linear_gaussian+lw(dynamic_masks)", 1 << 20, dt)
     # Serving-batch throughput: the chip saturates around B=256 at 1M
     # particles (B=8 under-utilizes it; B=512 exceeds HBM).
     for bb in [64, 256]:
