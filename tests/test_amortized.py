@@ -197,3 +197,32 @@ def test_amortized_in_fused_dispatch(vbn):
     assert len(res) == 2
     assert abs(_mean(vbn, *res[0]) - 0.5) < 0.08
     assert abs(_mean(vbn, *res[1]) - 0.5) < 0.12
+
+
+def test_observational_model_rows():
+    """n_obs_sets adds do-free model-generated rows: the learner trains
+    and still recovers the analytic posterior; the generated block's do
+    masks are all zero (learning/amortized.py::_model_rows)."""
+    from vectorizedbayesiannetwork_tpu.learning.amortized import (
+        AmortizedLearner,
+        build_spec,
+    )
+
+    v = _fit_lin_gauss(seed=3, epochs=40, n_obs_sets=3, n_do_sets=2)
+    pdf, s = v.infer_posterior(
+        {"target": "x2", "evidence": {"x0": [[1.0]], "x1": [[0.0]]}}
+    )
+    assert abs(_mean(v, pdf, s) - 0.5) < 0.07
+
+    learner = AmortizedLearner(n_do_sets=2, n_obs_sets=3)
+    spec = build_spec(v, (16,), "relu", 1e-3, interventional=True)
+    rows = np.concatenate(
+        [np.zeros((256, 1), np.float32) for _ in spec.topo], axis=-1
+    )
+    rng = np.random.default_rng(0)
+    vals, obs, dos = learner._model_rows(v, spec, rows, rng, 2, 3)
+    m_int = 256 * 2
+    assert vals.shape[0] == 256 * 5
+    assert (dos[m_int:] == 0).all()  # observational block: no do flags
+    assert dos[:m_int].any()  # interventional block: real do-sets
+    assert (obs >= dos).all()  # do'd values are always visible

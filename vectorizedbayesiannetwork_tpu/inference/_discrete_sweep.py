@@ -119,12 +119,15 @@ def discrete_sweep_trace(
     weighted: bool = False,
     ev_mask_arr=None,  # [B, N] f32 runtime evidence mask (overrides plan)
     fx_mask_arr=None,  # [B, N] f32 runtime evidence|do mask
-) -> Tuple[jax.Array, jax.Array]:
+    tgt_mask_arr=None,  # [B, N] f32 one-hot target -> extra lp_tgt output
+) -> Tuple[jax.Array, ...]:
     """Drop-in scan-form replacement for ``sweep_trace`` (same contract).
 
     With ``ev_mask_arr``/``fx_mask_arr`` the masks become runtime inputs
     (mask-dynamic programs): the scan step already indexes them
-    dynamically, so the compiled program is identical in structure.
+    dynamically, so the compiled program is identical in structure. With
+    ``tgt_mask_arr`` a third output accumulates the per-row target node's
+    log-density at its final value (mask-dynamic MCM).
     """
     tables = _static_tables(plan, cpds)
     log_cpt = _stacked_log_cpt(cpds, params_tuple, tables["cmax"])
@@ -154,6 +157,7 @@ def discrete_sweep_trace(
     else:
         ev_mask = (ev_mask_arr > 0).T
         fx_mask = (fx_mask_arr > 0).T
+    tg_mask = None if tgt_mask_arr is None else (tgt_mask_arr > 0).T
 
     # Per-node table lookup strategy: when every node's parent-state count
     # is small, slice the node's table block and contract with a one-hot of
@@ -166,7 +170,7 @@ def discrete_sweep_trace(
         log_cpt = jnp.concatenate([log_cpt, pad_rows], axis=0)
 
     def step(carry, inp):
-        states, logw = carry
+        states, logw, lpt = carry
         i, skey = inp
         pids = jax.lax.dynamic_index_in_dim(parent_ids, i, 0, False)  # [Pmax]
         strd = jax.lax.dynamic_index_in_dim(strides, i, 0, False)
@@ -192,19 +196,29 @@ def discrete_sweep_trace(
         states = jax.lax.dynamic_update_index_in_dim(
             states, value, i, axis=-1
         )
-        if weighted:
+        if weighted or tg_mask is not None:
             vsel = jax.nn.one_hot(value, cmax, dtype=logits.dtype)
             lp_val = jnp.sum(vsel * logits, axis=-1)
-            ev_i = jax.lax.dynamic_index_in_dim(ev_mask, i, 0, False)
-            logw = constrain_bs(
-                logw + jnp.where(ev_i[:, None], lp_val, 0.0)
-            )
-        return (states, logw), None
+            if weighted:
+                ev_i = jax.lax.dynamic_index_in_dim(ev_mask, i, 0, False)
+                logw = constrain_bs(
+                    logw + jnp.where(ev_i[:, None], lp_val, 0.0)
+                )
+            if tg_mask is not None:
+                tg_i = jax.lax.dynamic_index_in_dim(tg_mask, i, 0, False)
+                lpt = constrain_bs(
+                    lpt + jnp.where(tg_i[:, None], lp_val, 0.0)
+                )
+        return (states, logw, lpt), None
 
-    (states, logw), _ = jax.lax.scan(
-        step, (states0, logw0), (jnp.arange(n, dtype=jnp.int32), step_keys)
+    (states, logw, lpt), _ = jax.lax.scan(
+        step,
+        (states0, logw0, logw0),
+        (jnp.arange(n, dtype=jnp.int32), step_keys),
     )
     # index space == value space under the declared-arange-support
     # precondition (class_values[k] == k), so the float cast is the map back.
     packed = constrain_bsd(states.astype(jnp.float32))
+    if tg_mask is not None:
+        return packed, logw, lpt
     return packed, logw

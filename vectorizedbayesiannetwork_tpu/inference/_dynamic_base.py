@@ -1,0 +1,162 @@
+"""Shared machinery for mask-dynamic inference programs (LW / IS / MCM).
+
+``dynamic_masks=True`` moves ALL query structure — evidence/do masks,
+their values, and the target index — to runtime inputs, so ONE compiled
+program per network serves every query skeleton, and heterogeneous query
+mixes fuse into one row-batched dispatch (see ``_dynamic_sweep.py`` for
+the sweep itself). The reference recompiles nothing because it runs
+eagerly (``/root/reference/vbn/inference/_core.py:27-33`` caches only a
+plan); here the analogue of that plan cache is the jit cache, and this
+module keeps it O(1) per network for benchmark-style PAC-diverse
+workloads.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ..core.base import Query
+from ..core.plan import get_plan, pack_fixed_values
+from ..core.utils import infer_batch_size
+from ._base import CompiledMethod, Program
+
+
+def pack_dynamic_inputs(
+    plan, queries: Sequence[Query], *, clamp_obs: bool
+):
+    """Concat queries' rows + per-row masks/targets, pow2-padded.
+
+    Returns ``(inputs_tuple, spans, b_tot, b_pad)`` where spans is
+    ``[(lo, hi, target_idx)]`` per query. Shared by the single-query
+    dynamic programs and the heterogeneous row-fused dispatch so the two
+    paths can never drift.
+    """
+    node_to_idx = plan.node_to_idx()
+    rows, evs, dos, tgts, spans = [], [], [], [], []
+    at = 0
+    for q in queries:
+        b = infer_batch_size(q.evidence, q.do)
+        rows.append(pack_fixed_values(q, plan, b, clamp_obs=clamp_obs))
+        ev = np.zeros((b, plan.n_nodes), np.float32)
+        for n in q.evidence:
+            ev[:, node_to_idx[n]] = 1.0
+        do = np.zeros((b, plan.n_nodes), np.float32)
+        for n in q.do:
+            do[:, node_to_idx[n]] = 1.0
+        evs.append(ev)
+        dos.append(do)
+        tgts.append(np.full((b,), node_to_idx[q.target], np.int32))
+        spans.append((at, at + b, node_to_idx[q.target]))
+        at += b
+    b_tot = at
+    b_pad = 1 << max(0, (b_tot - 1)).bit_length()
+    pad = b_pad - b_tot
+    if pad:
+        rows.append(np.zeros((pad, plan.total_dim), np.float32))
+        evs.append(np.zeros((pad, plan.n_nodes), np.float32))
+        dos.append(np.zeros((pad, plan.n_nodes), np.float32))
+        tgts.append(np.zeros((pad,), np.int32))
+    inputs = (
+        np.concatenate(rows, axis=0),
+        np.concatenate(evs, axis=0),
+        np.concatenate(dos, axis=0),
+        np.concatenate(tgts, axis=0),
+    )
+    return inputs, spans, b_tot, b_pad
+
+
+class DynamicMaskMethod(CompiledMethod):
+    """Base for methods with a mask-dynamic program variant.
+
+    Subclasses implement ``_dynamic_fn(plan, cpds, s, opts)`` returning a
+    pure ``fn(params_tuple, key, inputs) -> (pdf[B,S], samples[B,S,maxd],
+    *aux)`` and may override ``_dynamic_opts`` (extra static knobs keyed
+    into the program tag) and ``_note_dynamic_aux`` (host bookkeeping for
+    the aux outputs, e.g. ESS).
+    """
+
+    dynamic_tag = "dyn"
+    pack_clamp_obs = False  # whether evidence values sanitize at pack time
+
+    def _dynamic_enabled(self, kwargs) -> bool:
+        return bool(
+            kwargs.get("dynamic_masks", getattr(self, "dynamic_masks", False))
+        )
+
+    def _dynamic_opts(self, kwargs) -> Tuple:
+        return ()
+
+    def _dynamic_fn(self, plan, cpds, s: int, opts: Tuple):
+        raise NotImplementedError
+
+    def _note_dynamic_aux(self, aux: List, sl: slice) -> None:
+        pass
+
+    def _canonical_plan(self, vbn):
+        """The one network-wide plan every dynamic program shares (masks
+        and target are runtime inputs, so any query's plan would do)."""
+        topo = tuple(vbn.dag.topological_order())
+        return get_plan(vbn, Query(target=topo[0], evidence={}, do={}))
+
+    def _make_dynamic_program(self, vbn, query: Query, s: int, opts: Tuple):
+        """Query structure as runtime inputs; one compile per network.
+
+        Programs are keyed by (S, opts, padded batch bucket) only — the
+        evidence/do masks, their values, and the target index cross as
+        arrays. Latent draws match the static program bit-for-bit at
+        equal (B, S) (same per-node key folds).
+        """
+        plan = self._canonical_plan(vbn)
+        cpds = self._cpds(vbn, plan)
+        inputs, spans, b, b_pad = pack_dynamic_inputs(
+            plan, [query], clamp_obs=self.pack_clamp_obs
+        )
+        t_dim = plan.node_dims[spans[0][2]]
+
+        def post(outs):
+            pdf, samples, *aux = outs
+            self._note_dynamic_aux(aux, slice(0, b))
+            return pdf[:b], samples[:b, :, :t_dim]
+
+        return Program(
+            plan,
+            (self.dynamic_tag, s) + opts + (b_pad,),
+            self._dynamic_fn(plan, cpds, s, opts),
+            self._params_tuple(vbn, plan),
+            inputs,
+            post,
+        )
+
+    def infer_posterior_many(self, vbn, queries, **kwargs):
+        """Heterogeneous row-fused dispatch (dynamic mode): ANY mix of
+        targets/evidence patterns rides ONE sweep — queries' rows are
+        concatenated, per-row masks and target indices cross as arrays,
+        and outputs are split back per query. Falls back to the generic
+        program-tuple fusion otherwise."""
+        if not self._dynamic_enabled(kwargs):
+            return super().infer_posterior_many(vbn, queries, **kwargs)
+        s = int(kwargs.get("n_samples", self.n_samples))
+        opts = self._dynamic_opts(kwargs)
+        plan = self._canonical_plan(vbn)
+        cpds = self._cpds(vbn, plan)
+        inputs, spans, b_tot, b_pad = pack_dynamic_inputs(
+            plan, queries, clamp_obs=self.pack_clamp_obs
+        )
+        prog_fn = self._compiled(
+            vbn,
+            plan,
+            (self.dynamic_tag, s) + opts + (b_pad,),
+            lambda: self._dynamic_fn(plan, cpds, s, opts),
+        )
+        outs = prog_fn(
+            self._params_tuple(vbn, plan), vbn.next_key_spec(), inputs
+        )
+        pdf, samples, *aux = outs
+        self._note_dynamic_aux(aux, slice(0, b_tot))
+        res = []
+        for lo, hi, t_idx in spans:
+            d = plan.node_dims[t_idx]
+            res.append((pdf[lo:hi], samples[lo:hi, :, :d]))
+        return res

@@ -42,11 +42,16 @@ def dynamic_sweep_trace(
     ev_mask: jax.Array,  # [B, n_nodes] f32 (1 = evidence: clamp + weight)
     do_mask: jax.Array,  # [B, n_nodes] f32 (1 = do: clamp, no weight)
     n_samples: int,
-) -> Tuple[jax.Array, jax.Array]:
+    *,
+    tgt_mask: jax.Array = None,  # [B, n_nodes] f32 one-hot of target
+) -> Tuple[jax.Array, ...]:
     """Returns (packed [B,S,total_dim], log_weights [B,S]).
 
     Masks are PER ROW, so one dispatch can mix arbitrary query skeletons
-    (heterogeneous fused batches).
+    (heterogeneous fused batches). With ``tgt_mask`` a third output is
+    appended: the per-row TARGET node's log-density at its final
+    (sampled-or-clamped) value, [B, S] — what Monte-Carlo marginalization
+    exponentiates as its pdf.
     """
     from ._sweep import _use_discrete_scan
 
@@ -65,6 +70,7 @@ def dynamic_sweep_trace(
             return discrete_sweep_trace(
                 plan, cpds, params_tuple, key, fixed, n_samples,
                 weighted=True, ev_mask_arr=ev_mask, fx_mask_arr=fx,
+                tgt_mask_arr=tgt_mask,
             )
         from ._gaussian_sweep import (
             gaussian_sweep_supported,
@@ -75,12 +81,14 @@ def dynamic_sweep_trace(
             return gaussian_sweep_trace(
                 plan, cpds, params_tuple, key, fixed, n_samples,
                 weighted=True, ev_mask_arr=ev_mask, fx_mask_arr=fx,
+                tgt_mask_arr=tgt_mask,
             )
     b = fixed.shape[0]
     s = n_samples
     m = b * s
     vals = [None] * plan.n_nodes
     log_w = jnp.zeros((b, s), jnp.float32)
+    lp_tgt = jnp.zeros((b, s), jnp.float32)
     for idx in range(plan.n_nodes):
         d = plan.node_dims[idx]
         off = plan.node_offsets[idx]
@@ -102,7 +110,12 @@ def dynamic_sweep_trace(
         ).reshape(b, s)
         # where, not multiply: 0 * (-inf) would poison the weights.
         log_w = log_w + jnp.where(ev_mask[:, idx][:, None] > 0, lp, 0.0)
-    return jnp.concatenate(vals, axis=-1), constrain_bs(log_w)
+        if tgt_mask is not None:
+            lp_tgt = lp_tgt + jnp.where(tgt_mask[:, idx][:, None] > 0, lp, 0.0)
+    packed = jnp.concatenate(vals, axis=-1)
+    if tgt_mask is not None:
+        return packed, constrain_bs(log_w), constrain_bs(lp_tgt)
+    return packed, constrain_bs(log_w)
 
 
 def dynamic_target_values(

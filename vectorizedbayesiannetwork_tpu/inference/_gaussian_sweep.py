@@ -46,11 +46,14 @@ def gaussian_sweep_trace(
     weighted: bool = False,
     ev_mask_arr=None,  # [B, N] f32 runtime evidence mask (overrides plan)
     fx_mask_arr=None,  # [B, N] f32 runtime evidence|do mask
-) -> Tuple[jax.Array, jax.Array]:
+    tgt_mask_arr=None,  # [B, N] f32 one-hot target -> extra lp_tgt output
+) -> Tuple[jax.Array, ...]:
     """Drop-in scan-form replacement for ``sweep_trace`` (same contract).
 
     With ``ev_mask_arr``/``fx_mask_arr`` the masks become runtime inputs
-    (mask-dynamic programs).
+    (mask-dynamic programs). With ``tgt_mask_arr`` a third output
+    accumulates the per-row target node's log-density at its final value
+    (mask-dynamic MCM).
     """
     n = plan.n_nodes
     b = fixed.shape[0]
@@ -76,6 +79,7 @@ def gaussian_sweep_trace(
         fx_mask = jnp.asarray(
             np.asarray([plan.is_fixed(i) for i in range(n)], bool)
         )[:, None]
+    tg_mask = None if tgt_mask_arr is None else (tgt_mask_arr > 0).T
 
     # Stacked padded parameters (trace-time pytree ops on device).
     w_rows = []
@@ -103,7 +107,7 @@ def gaussian_sweep_trace(
     eps = jax.random.normal(key, (b, s, n), jnp.float32)
 
     def step(carry, inp):
-        states, logw = carry
+        states, logw, lpt = carry
         i, eps_i = inp  # eps_i [B, S]
         pids = jax.lax.dynamic_index_in_dim(parent_ids, i, 0, False)
         w_i = jax.lax.dynamic_index_in_dim(weights, i, 0, False)  # [Pmax]
@@ -117,17 +121,25 @@ def gaussian_sweep_trace(
         states = jax.lax.dynamic_update_index_in_dim(
             states, value, i, axis=-1
         )
-        if weighted:
+        if weighted or tg_mask is not None:
             z = (value - loc) / scale[i]
             lp = -0.5 * (z * z + LOG_2PI) - jnp.log(scale[i])
-            logw = constrain_bs(
-                logw + jnp.where(ev_mask[i][:, None], lp, 0.0)
-            )
-        return (states, logw), None
+            if weighted:
+                logw = constrain_bs(
+                    logw + jnp.where(ev_mask[i][:, None], lp, 0.0)
+                )
+            if tg_mask is not None:
+                tg_i = jax.lax.dynamic_index_in_dim(tg_mask, i, 0, False)
+                lpt = constrain_bs(
+                    lpt + jnp.where(tg_i[:, None], lp, 0.0)
+                )
+        return (states, logw, lpt), None
 
-    (states, logw), _ = jax.lax.scan(
+    (states, logw, lpt), _ = jax.lax.scan(
         step,
-        (states0, logw0),
+        (states0, logw0, logw0),
         (jnp.arange(n, dtype=jnp.int32), jnp.moveaxis(eps, -1, 0)),
     )
+    if tg_mask is not None:
+        return constrain_bsd(states), logw, lpt
     return constrain_bsd(states), logw

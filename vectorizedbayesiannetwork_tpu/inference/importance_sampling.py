@@ -28,16 +28,27 @@ import numpy as np
 from ..core.base import Query
 from ..core.plan import clamp_evidence, pack_fixed_values
 from ..core.registry import register_inference
-from ._base import CompiledMethod, Program
+from ._base import Program
+from ._dynamic_base import DynamicMaskMethod
+from ._dynamic_sweep import dynamic_sweep_trace, dynamic_target_values
 from ._sweep import node_values, sweep_trace
 
 
 @register_inference("importance_sampling")
-class ImportanceSampling(CompiledMethod):
-    def __init__(self, n_samples: int = 200, **_kwargs) -> None:
+class ImportanceSampling(DynamicMaskMethod):
+    dynamic_tag = "is_dyn"
+    pack_clamp_obs = False  # the fallback branch sanitizes in-graph
+
+    def __init__(
+        self, n_samples: int = 200, dynamic_masks: bool = False, **_kwargs
+    ) -> None:
         super().__init__()
         self.n_samples = int(n_samples)
         self.ess_threshold = 0.1
+        # dynamic_masks: ONE compiled program per network — evidence/do
+        # masks and the target become runtime inputs (_dynamic_sweep.py),
+        # with the same in-graph lax.cond ESS-fallback as the static path.
+        self.dynamic_masks = bool(dynamic_masks)
         self._fallback_dev = None  # device bool from the last call
         self._last_ess: Optional[jax.Array] = None
 
@@ -48,8 +59,58 @@ class ImportanceSampling(CompiledMethod):
             return False
         return bool(np.asarray(self._fallback_dev))
 
+    def _dynamic_fn(self, plan, cpds, s, opts):
+        threshold = max(1.0, self.ess_threshold * float(s))
+        # Static column->node table: the fallback's per-row evidence-column
+        # sanitization mask derives in-graph from the runtime ev_mask.
+        node_of_col = np.zeros((plan.total_dim,), np.int32)
+        for idx in range(plan.n_nodes):
+            off = plan.node_offsets[idx]
+            node_of_col[off : off + plan.node_dims[idx]] = idx
+
+        def fn(params_tuple, key, packed_in):
+            fixed_vals, evm, dom, ti = packed_in
+            k_is, k_lw = jax.random.split(key)
+            packed, log_w = dynamic_sweep_trace(
+                plan, cpds, params_tuple, k_is, fixed_vals, evm, dom, s
+            )
+            weights = jax.nn.softmax(log_w, axis=1)
+            ess = 1.0 / jnp.sum(weights**2, axis=1)
+            # Padded rows carry no evidence -> uniform weights -> ESS == S,
+            # so they can never trigger the collapse branch.
+            collapse = jnp.any(ess < threshold)
+
+            def fallback(_):
+                col_ev = jnp.take(evm, jnp.asarray(node_of_col), axis=1) > 0
+                f_lw = jnp.where(
+                    col_ev, clamp_evidence(fixed_vals), fixed_vals
+                )
+                p2, lw2 = dynamic_sweep_trace(
+                    plan, cpds, params_tuple, k_lw, f_lw, evm, dom, s
+                )
+                return jax.nn.softmax(lw2, axis=1), p2
+
+            def keep(_):
+                return weights, packed
+
+            w_out, p_out = jax.lax.cond(collapse, fallback, keep, None)
+            return (
+                w_out,
+                dynamic_target_values(plan, p_out, ti),
+                ess,
+                collapse,
+            )
+
+        return fn
+
+    def _note_dynamic_aux(self, aux, sl):
+        self._last_ess = aux[0][sl]
+        self._fallback_dev = aux[1]
+
     def make_program(self, vbn, query: Query, **kwargs):
         s = int(kwargs.get("n_samples", self.n_samples))
+        if self._dynamic_enabled(kwargs):
+            return self._make_dynamic_program(vbn, query, s, ())
         plan, b = self._plan_and_batch(vbn, query)
         fixed = pack_fixed_values(query, plan, b)
         cpds = self._cpds(vbn, plan)

@@ -11,21 +11,22 @@ program; the softmax over the particle axis is the reduction that becomes a
 
 from __future__ import annotations
 
-import numpy as np
-
 import jax.numpy as jnp
 
 from ..core.base import Query
-from ..core.plan import get_plan, pack_fixed_values
+from ..core.plan import pack_fixed_values
 from ..core.registry import register_inference
-from ..core.utils import infer_batch_size
-from ._base import CompiledMethod, Program
+from ._base import Program
+from ._dynamic_base import DynamicMaskMethod
 from ._dynamic_sweep import dynamic_sweep_trace, dynamic_target_values
 from ._sweep import node_values, sweep_trace
 
 
 @register_inference("likelihood_weighting")
-class LikelihoodWeighting(CompiledMethod):
+class LikelihoodWeighting(DynamicMaskMethod):
+    dynamic_tag = "lw_dyn"
+    pack_clamp_obs = True
+
     def __init__(
         self,
         n_samples: int = 200,
@@ -66,49 +67,12 @@ class LikelihoodWeighting(CompiledMethod):
         )
         return weights, ess
 
-    def _pack_dynamic_inputs(self, plan, queries):
-        """Concat queries' rows + per-row masks/targets, pow2-padded.
+    def _dynamic_opts(self, kwargs):
+        return (bool(kwargs.get("normalize", self.normalize)),)
 
-        Returns (inputs_tuple, spans, b_tot, b_pad) where spans is
-        [(lo, hi, target_idx)] per query. Shared by the single-query
-        dynamic program and the heterogeneous row-fused dispatch so the
-        two paths can never drift.
-        """
-        node_to_idx = plan.node_to_idx()
-        rows, evs, dos, tgts, spans = [], [], [], [], []
-        at = 0
-        for q in queries:
-            b = infer_batch_size(q.evidence, q.do)
-            rows.append(pack_fixed_values(q, plan, b, clamp_obs=True))
-            ev = np.zeros((b, plan.n_nodes), np.float32)
-            for n in q.evidence:
-                ev[:, node_to_idx[n]] = 1.0
-            do = np.zeros((b, plan.n_nodes), np.float32)
-            for n in q.do:
-                do[:, node_to_idx[n]] = 1.0
-            evs.append(ev)
-            dos.append(do)
-            tgts.append(np.full((b,), node_to_idx[q.target], np.int32))
-            spans.append((at, at + b, node_to_idx[q.target]))
-            at += b
-        b_tot = at
-        b_pad = 1 << max(0, (b_tot - 1)).bit_length()
-        pad = b_pad - b_tot
-        if pad:
-            rows.append(np.zeros((pad, plan.total_dim), np.float32))
-            evs.append(np.zeros((pad, plan.n_nodes), np.float32))
-            dos.append(np.zeros((pad, plan.n_nodes), np.float32))
-            tgts.append(np.zeros((pad,), np.int32))
-        inputs = (
-            np.concatenate(rows, axis=0),
-            np.concatenate(evs, axis=0),
-            np.concatenate(dos, axis=0),
-            np.concatenate(tgts, axis=0),
-        )
-        return inputs, spans, b_tot, b_pad
-
-    def _dynamic_fn(self, plan, cpds, s, normalize):
+    def _dynamic_fn(self, plan, cpds, s, opts):
         """The one mask-dynamic program body (single + row-fused paths)."""
+        (normalize,) = opts
 
         def fn(params_tuple, key, packed_in):
             fixed_vals, evm, dom, ti = packed_in
@@ -120,73 +84,16 @@ class LikelihoodWeighting(CompiledMethod):
 
         return fn
 
-    def _canonical_plan(self, vbn):
-        topo = tuple(vbn.dag.topological_order())
-        return get_plan(vbn, Query(target=topo[0], evidence={}, do={}))
-
-    def _make_dynamic_program(self, vbn, query: Query, s, normalize):
-        """Query structure as runtime inputs; one compile per network.
-
-        Programs are keyed by (S, normalize, padded batch bucket) only —
-        the evidence/do masks, their values, and the target index cross
-        as arrays. Latent draws match the static program bit-for-bit at
-        equal (B, S) (same per-node key folds).
-        """
-        plan = self._canonical_plan(vbn)
-        cpds = self._cpds(vbn, plan)
-        inputs, spans, b, b_pad = self._pack_dynamic_inputs(plan, [query])
-        t_dim = plan.node_dims[spans[0][2]]
-
-        def post(outs):
-            weights, samples, ess = outs
-            self._last_ess = ess[:b]
-            return weights[:b], samples[:b, :, :t_dim]
-
-        return Program(
-            plan,
-            ("lw_dyn", s, normalize, b_pad),
-            self._dynamic_fn(plan, cpds, s, normalize),
-            self._params_tuple(vbn, plan),
-            inputs,
-            post,
-        )
-
-    def infer_posterior_many(self, vbn, queries, **kwargs):
-        """Heterogeneous row-fused dispatch (dynamic mode): ANY mix of
-        targets/evidence patterns rides ONE sweep — queries' rows are
-        concatenated, per-row masks and target indices cross as arrays,
-        and outputs are split back per query. Falls back to the generic
-        program-tuple fusion otherwise."""
-        if not bool(kwargs.get("dynamic_masks", self.dynamic_masks)):
-            return super().infer_posterior_many(vbn, queries, **kwargs)
-        s = int(kwargs.get("n_samples", self.n_samples))
-        normalize = bool(kwargs.get("normalize", self.normalize))
-        plan = self._canonical_plan(vbn)
-        cpds = self._cpds(vbn, plan)
-        inputs, spans, b_tot, b_pad = self._pack_dynamic_inputs(
-            plan, queries
-        )
-        prog_fn = self._compiled(
-            vbn,
-            plan,
-            ("lw_dyn", s, normalize, b_pad),
-            lambda: self._dynamic_fn(plan, cpds, s, normalize),
-        )
-        weights, samples, ess = prog_fn(
-            self._params_tuple(vbn, plan), vbn.next_key_spec(), inputs
-        )
-        self._last_ess = ess[:b_tot]
-        out = []
-        for lo, hi, t_idx in spans:
-            d = plan.node_dims[t_idx]
-            out.append((weights[lo:hi], samples[lo:hi, :, :d]))
-        return out
+    def _note_dynamic_aux(self, aux, sl):
+        self._last_ess = aux[0][sl]
 
     def make_program(self, vbn, query: Query, **kwargs):
         s = int(kwargs.get("n_samples", self.n_samples))
         normalize = bool(kwargs.get("normalize", self.normalize))
-        if bool(kwargs.get("dynamic_masks", self.dynamic_masks)):
-            return self._make_dynamic_program(vbn, query, s, normalize)
+        if self._dynamic_enabled(kwargs):
+            return self._make_dynamic_program(
+                vbn, query, s, self._dynamic_opts(kwargs)
+            )
         plan, b = self._plan_and_batch(vbn, query)
         fixed = pack_fixed_values(query, plan, b, clamp_obs=True)
         cpds = self._cpds(vbn, plan)

@@ -9,23 +9,60 @@ path is a single cached XLA program (see ``_sweep.py``).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.base import Query
 from ..core.plan import pack_fixed_values
 from ..core.registry import register_inference
-from ._base import CompiledMethod, Program
+from ._base import Program
+from ._dynamic_base import DynamicMaskMethod
+from ._dynamic_sweep import dynamic_sweep_trace, dynamic_target_values
 from ._sweep import node_values, sweep_trace, target_log_prob
 
 
 @register_inference("monte_carlo_marginalization")
-class MonteCarloMarginalization(CompiledMethod):
-    def __init__(self, n_samples: int = 200, **_kwargs) -> None:
+class MonteCarloMarginalization(DynamicMaskMethod):
+    dynamic_tag = "mcm_dyn"
+    pack_clamp_obs = False
+
+    def __init__(
+        self, n_samples: int = 200, dynamic_masks: bool = False, **_kwargs
+    ) -> None:
         super().__init__()
         self.n_samples = int(n_samples)
+        # dynamic_masks: ONE compiled program per network — evidence/do
+        # masks and the target become runtime inputs (_dynamic_sweep.py).
+        # Turn on for workloads with many distinct query skeletons, where
+        # per-skeleton compiles dominate. The do(target) delta fast path
+        # is preserved per row (pdf 1 at the intervened value); the
+        # parents-observed direct path runs as the general sweep (same
+        # distribution, clamped ancestors make it exact).
+        self.dynamic_masks = bool(dynamic_masks)
+
+    def _dynamic_fn(self, plan, cpds, s, opts):
+        def fn(params_tuple, key, packed_in):
+            fixed_vals, evm, dom, ti = packed_in
+            # MCM semantics: evidence AND do both clamp; nothing weights.
+            fx = jnp.maximum(evm, dom)
+            no_weight = jnp.zeros_like(evm)
+            tgt = jax.nn.one_hot(ti, plan.n_nodes, dtype=jnp.float32)
+            packed, _, lp_t = dynamic_sweep_trace(
+                plan, cpds, params_tuple, key, fixed_vals,
+                no_weight, fx, s, tgt_mask=tgt,
+            )
+            # do(target) rows: degenerate delta at the intervened value
+            # (the sweep already clamped the samples; pdf := 1).
+            do_t = jnp.sum(tgt * dom, axis=1)  # [B]
+            pdf = jnp.where(do_t[:, None] > 0, 1.0, jnp.exp(lp_t))
+            return pdf, dynamic_target_values(plan, packed, ti)
+
+        return fn
 
     def make_program(self, vbn, query: Query, **kwargs):
         s = int(kwargs.get("n_samples", self.n_samples))
+        if self._dynamic_enabled(kwargs):
+            return self._make_dynamic_program(vbn, query, s, ())
         plan, b = self._plan_and_batch(vbn, query)
         fixed = pack_fixed_values(query, plan, b)
         t = plan.target_idx

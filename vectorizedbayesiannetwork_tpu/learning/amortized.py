@@ -292,6 +292,7 @@ class AmortizedLearner:
         min_scale: float = 1e-3,
         interventional: bool = True,
         n_do_sets: int = 12,
+        n_obs_sets: int = 4,
         **_kwargs,
     ) -> None:
         self.default_cpd = default_cpd
@@ -308,12 +309,20 @@ class AmortizedLearner:
         # graphs have nothing to intervene on).
         self.interventional = bool(interventional)
         self.n_do_sets = max(1, int(n_do_sets))
+        # Model-generated OBSERVATIONAL rows (do-free ancestral samples of
+        # the fitted model) decouple the amortizer's coverage from the
+        # training set's evidence distribution: rare evidence patterns the
+        # data never exhibits still appear in the model's own samples.
+        self.n_obs_sets = max(0, int(n_obs_sets))
         self._node_wise = NodeWiseLearner(default_cpd=default_cpd)
 
-    def _interventional_rows(self, vbn, spec, rows, rng):
-        """Mutilated-graph training rows: (values, obs_masks, do_masks).
+    def _model_rows(self, vbn, spec, rows, rng, n_int_sets, n_obs_sets):
+        """Model-generated training rows: (values, obs_masks, do_masks).
 
-        ALL rows ride ONE mask-dynamic sweep (per-row do masks,
+        The first ``n_int_sets`` blocks are mutilated-graph samples with
+        per-row random do-sets; the last ``n_obs_sets`` blocks are plain
+        observational ancestral samples (all-zero do masks). ALL rows ride
+        ONE mask-dynamic sweep (per-row do masks,
         inference/_dynamic_sweep.py) — a single compile instead of one
         per random do-set, and every row gets its own do-set. Do values
         are bootstrapped from the data marginals so they stay on-support.
@@ -331,10 +340,13 @@ class AmortizedLearner:
         cpds = tuple(vbn.cpd_spec(n) for n in plan.topo_order)
         params_tuple = tuple(vbn.params[n] for n in plan.topo_order)
         n = rows.shape[0]
-        m = min(1024, n) * self.n_do_sets
-        # per-row do-sets: each node intervened with its row's probability
+        m_int = min(1024, n) * n_int_sets
+        m = m_int + min(1024, n) * n_obs_sets
+        # per-row do-sets for the interventional block; the observational
+        # block keeps an all-zero do mask (plain ancestral model samples)
         p_do = rng.uniform(0.1, 0.5, size=(m, 1)).astype(np.float32)
         do_mask = (rng.random((m, spec.n_nodes)) < p_do).astype(np.float32)
+        do_mask[m_int:] = 0.0
         # bootstrap do VALUES per node from the observed marginals
         fixed = np.zeros((m, spec.total_dim), np.float32)
         for i in range(spec.n_nodes):
@@ -392,19 +404,22 @@ class AmortizedLearner:
         masks_rep = np.concatenate(masks, axis=0)
         do_rep = np.zeros_like(masks_rep)
 
-        if interventional:
-            # Stage 2b: model-generated interventional rows. For each
-            # random do-set, bootstrap do VALUES from the observed
-            # marginals and ancestral-sample the remaining nodes from the
-            # fitted model's MUTILATED graph (do severs parents inside the
-            # sweep). The net sees the do flag as its own channel; the
-            # loss still covers only unobserved nodes.
-            int_rows, int_masks, int_dos = self._interventional_rows(
-                vbn, spec, rows, rng
+        n_int_sets = self.n_do_sets if interventional else 0
+        if n_int_sets or self.n_obs_sets:
+            # Stage 2b: model-generated rows. Interventional blocks
+            # bootstrap do VALUES from the observed marginals and
+            # ancestral-sample the remaining nodes from the fitted model's
+            # MUTILATED graph (do severs parents inside the sweep);
+            # observational blocks are do-free ancestral samples that
+            # widen evidence coverage beyond the data distribution. The
+            # net sees the do flag as its own channel; the loss still
+            # covers only unobserved nodes.
+            mod_rows, mod_masks, mod_dos = self._model_rows(
+                vbn, spec, rows, rng, n_int_sets, self.n_obs_sets
             )
-            rows_rep = np.concatenate([rows_rep, int_rows], axis=0)
-            masks_rep = np.concatenate([masks_rep, int_masks], axis=0)
-            do_rep = np.concatenate([do_rep, int_dos], axis=0)
+            rows_rep = np.concatenate([rows_rep, mod_rows], axis=0)
+            masks_rep = np.concatenate([masks_rep, mod_masks], axis=0)
+            do_rep = np.concatenate([do_rep, mod_dos], axis=0)
         if spec.interventional:
             masks_rep = np.concatenate([masks_rep, do_rep], axis=1)
 
