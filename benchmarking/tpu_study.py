@@ -84,13 +84,23 @@ def main() -> None:
     )
     dt = _measure(lambda: vbn.infer_posterior(q_diag))
     emit("linear_gaussian+ris(multinomial)", 1 << 20, dt)
-    # Mask-dynamic LW: one program, every evidence pattern (serving for
-    # unpredictable query shapes; ~1.5-2x the static sweep's FLOPs).
+    # Mask-dynamic programs: one program, every evidence pattern (serving
+    # for unpredictable query shapes; ~1.5-2x the static sweep's FLOPs).
     vbn.set_inference_method(
         "likelihood_weighting", n_samples=1 << 20, dynamic_masks=True
     )
     dt = _measure(lambda: vbn.infer_posterior(q_diag))
     emit("linear_gaussian+lw(dynamic_masks)", 1 << 20, dt)
+    vbn.set_inference_method(
+        "monte_carlo_marginalization", n_samples=1 << 20, dynamic_masks=True
+    )
+    dt = _measure(lambda: vbn.infer_posterior(q_pred))
+    emit("linear_gaussian+mcm(dynamic_masks)", 1 << 20, dt)
+    vbn.set_inference_method(
+        "importance_sampling", n_samples=1 << 20, dynamic_masks=True
+    )
+    dt = _measure(lambda: vbn.infer_posterior(q_diag))
+    emit("linear_gaussian+is(dynamic_masks)", 1 << 20, dt)
     # Serving-batch throughput: the chip saturates around B=256 at 1M
     # particles (B=8 under-utilizes it; B=512 exceeds HBM).
     for bb in [64, 256]:
