@@ -94,3 +94,52 @@ def test_ensure_2d_and_batch_size():
     assert infer_batch_size({}, {}) == 1
     with pytest.raises(ValueError):
         infer_batch_size({"a": [[1.0]]}, {"b": [[1.0], [2.0]]})
+
+
+def test_prng_impl_rbg():
+    """Opt-in fast PRNG: VBN(prng_impl='rbg') produces valid posteriors,
+    persists the impl through save/load, and differs from the default
+    stream (core/rng.py::root_key)."""
+    import os
+    import tempfile
+
+    import networkx as nx
+    import numpy as np
+    import pandas as pd
+
+    from vectorizedbayesiannetwork_tpu import VBN, defaults
+
+    g = np.random.default_rng(0)
+    n = 4000
+    x0 = g.normal(size=n)
+    x1 = 0.7 * x0 + 0.1 * g.normal(size=n)
+    df = pd.DataFrame({"x0": x0, "x1": x1})
+    G = nx.DiGraph([("x0", "x1")])
+
+    def build(impl):
+        v = VBN(G, seed=0, prng_impl=impl)
+        v.set_learning_method(
+            "node_wise",
+            nodes_cpds={k: defaults.cpd("linear_gaussian") for k in G.nodes},
+        )
+        v.fit(df)
+        v.set_inference_method("likelihood_weighting", n_samples=2048)
+        return v
+
+    q = {"target": "x1", "evidence": {"x0": [[1.0]]}}
+    v_rbg = build("rbg")
+    pdf, samp = v_rbg.infer_posterior(q)
+    w = np.asarray(pdf)
+    m = (w / w.sum(1, keepdims=True) * np.asarray(samp)[..., 0]).sum(1)[0]
+    assert abs(m - 0.7) < 0.05  # analytic posterior mean
+    v_def = build(None)
+    pdf_d, samp_d = v_def.infer_posterior(q)
+    assert not np.allclose(np.asarray(samp_d), np.asarray(samp))  # new stream
+
+    path = os.path.join(tempfile.mkdtemp(), "ck")
+    v_rbg.save(path)
+    v2 = VBN.load(path)
+    assert v2.prng_impl == "rbg"
+    v2.set_inference_method("likelihood_weighting", n_samples=2048)
+    pdf2, samp2 = v2.infer_posterior(q)
+    assert np.isfinite(np.asarray(pdf2)).all()

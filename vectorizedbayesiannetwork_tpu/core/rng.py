@@ -13,8 +13,21 @@ from __future__ import annotations
 import jax
 
 
-def root_key(seed: int) -> jax.Array:
-    return jax.random.PRNGKey(int(seed))
+def root_key(seed: int, impl: str = None) -> jax.Array:
+    """Root key for ``seed``. ``impl=None`` is JAX's default (threefry —
+    bitwise-reproducible, shard-partitionable). ``impl="rbg"`` swaps bit
+    GENERATION to XLA's RngBitGenerator (key derivation stays threefry):
+    draws differ from the default stream but are statistically sound.
+    Measured on TPU v5e (MCM, B=256, S=1M): rbg is ~3x SLOWER than the
+    partitionable threefry (76 vs 25 ms/batch) — keep the default on TPU;
+    the knob exists for backends where RngBitGenerator wins (see
+    BENCH_NOTES.md)."""
+    if impl is None:
+        return jax.random.PRNGKey(int(seed))
+    # Typed key: the impl rides in the dtype, so downstream fold_in /
+    # bit-generation dispatch to the right implementation (a raw uint32
+    # array would be reinterpreted as a default-impl key).
+    return jax.random.key(int(seed), impl=impl)
 
 
 def fold(key: jax.Array, *indices: int) -> jax.Array:
@@ -33,8 +46,8 @@ class KeyStream:
     draws.
     """
 
-    def __init__(self, seed: int) -> None:
-        self._root = root_key(seed)
+    def __init__(self, seed: int, impl: str = None) -> None:
+        self._root = root_key(seed, impl)
         self._counter = 0
 
     def next(self) -> jax.Array:

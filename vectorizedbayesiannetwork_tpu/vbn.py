@@ -159,14 +159,20 @@ class VBN:
         dag,
         seed: Optional[int] = None,
         device: Optional[str] = None,
+        prng_impl: Optional[str] = None,
     ) -> None:
         self.seed = 0 if seed is None else int(seed)
         self.dag = StaticDAG(dag)
         self.device = device  # advisory; placement is a sharding concern
+        # prng_impl: None = JAX default (threefry; bitwise-reproducible
+        # stream, the one all draw-parity tests pin). "rbg" trades that
+        # stream for XLA's RngBitGenerator — much cheaper bit generation
+        # on TPU for PRNG-bound sweeps (core/rng.py::root_key).
+        self.prng_impl = prng_impl
         self.nodes: Dict[str, Any] = {}  # node -> CPD spec
         self.params: Dict[str, Any] = {}  # node -> params pytree
         self.config = _load_configs()
-        self._keys = KeyStream(self.seed)
+        self._keys = KeyStream(self.seed, prng_impl)
         self._plan_cache: Dict = {}
         self.amortized: Optional[Dict[str, Any]] = None  # set by 'amortized' learning
 
@@ -182,7 +188,9 @@ class VBN:
     # ----------------- internal plumbing -----------------
     @property
     def root_key(self) -> jax.Array:
-        return jax.random.PRNGKey(self.seed)
+        from .core.rng import root_key
+
+        return root_key(self.seed, self.prng_impl)
 
     def next_key(self) -> jax.Array:
         return self._keys.next()
@@ -593,6 +601,7 @@ class VBN:
             "jax_version": jax.__version__,
             "dtype": "float32",
             "seed": self.seed,
+            "prng_impl": self.prng_impl,
             "rng_counter": self._keys.state(),
         }
         structure = {"dag": dag_info, "nodes": nodes_meta, "meta": meta}
@@ -657,7 +666,7 @@ class VBN:
         g.add_nodes_from(dag_info.get("nodes", []))
         g.add_edges_from([tuple(e) for e in dag_info.get("edges", [])])
         meta = structure.get("meta", {})
-        vbn = cls(g, seed=meta.get("seed"))
+        vbn = cls(g, seed=meta.get("seed"), prng_impl=meta.get("prng_impl"))
         vbn._keys.set_state(meta.get("rng_counter", 0))
 
         config = structure.get("config") or {}
