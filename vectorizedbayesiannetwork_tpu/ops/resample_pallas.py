@@ -85,14 +85,29 @@ def _fetch(pair, idx):
 
 
 def _rank1024(cpair, uq):
-    """#{i in [0,1024): cpair_flat[i] <= uq} per lane — branchless binary
-    search over the sorted pair, [1, 128] int32 in [0, 1024]."""
-    cnt = jnp.zeros((1, _LB), jnp.int32)
-    bit = 2 * W // 2
+    """#{i in [0,1024): cpair_flat[i] <= uq} per lane, [1, 128] int32 in
+    [0, 1024].
+
+    Hierarchical: the pair is globally sorted, so the count of FULL
+    sublane rows below uq comes from one broadcast compare against each
+    row's last lane (no gathers) — that resolves the top 3 bits; a 7-step
+    branchless binary search inside the boundary row resolves the rest.
+    Saves 3 of the 10 serial two-gather probes of the flat search
+    (measured: the rank search is ~half the kernel, BENCH_NOTES.md
+    "Cost decomposition")."""
+    row_last = jnp.broadcast_to(cpair[:, _LB - 1 :], (_CB * 2, _LB))
+    full_rows = jnp.sum(
+        (row_last <= uq).astype(jnp.int32), axis=0, keepdims=True
+    )  # [1, 128] in [0, 8]
+    cnt = full_rows * _LB
+    in_range = full_rows < _CB * 2  # all-rows-below => rank is exactly 1024
+    bit = _LB // 2
     while bit >= 1:
-        probe = cnt + (bit - 1)
+        probe = jnp.minimum(cnt + (bit - 1), 2 * W - 1)
         val = _fetch(cpair, probe)
-        cnt = cnt + jnp.where(val <= uq, bit, 0).astype(jnp.int32)
+        cnt = cnt + jnp.where(
+            jnp.logical_and(val <= uq, in_range), bit, 0
+        ).astype(jnp.int32)
         bit //= 2
     return cnt
 
@@ -220,7 +235,13 @@ def _resolve_tile(
     b, start, uqs, u_last, blk0_ref, blk1_ref, blk_raw, out_ref,
     bso0, bso1, sems, dp,
 ):
-    """Shared tile body: prefetched pair + overflow window walk."""
+    """Shared tile body: prefetched pair + overflow window walk.
+
+    The common case (the prefetched pair covers the tile) writes the
+    output directly; the walk lives behind ``pl.when`` with the output
+    block as its accumulator, so tiles that never overflow don't pay the
+    loop-carried dataflow (measured ~2.5 ms of 25 at 8x1M — BENCH_NOTES
+    "Cost decomposition")."""
     blk0 = blk0_ref[0, 0]
     blk1 = blk1_ref[0, 0]
     rows_out = out_ref.shape[2]
@@ -236,33 +257,36 @@ def _resolve_tile(
         acc0,
         dp,
     )
+    out_ref[0, 0] = acc1
 
-    def overflow(carry):
-        widx, prev_last, _cov, acc = carry
-        copies = [
-            pltpu.make_async_copy(blk_raw.at[b, widx], bso0, sems.at[0]),
-            pltpu.make_async_copy(
-                blk_raw.at[b, widx + 1], bso1, sems.at[1]
-            ),
-        ]
-        for c in copies:
-            c.start()
-        for c in copies:
-            c.wait()
-        b0 = bso0[:]
-        b1 = bso1[:]
-        acc, covered, pair_max = _pair_pick(
-            b0[:_CB], b1[:_CB], b0[_CB:], b1[_CB:], uqs, u_last,
-            prev_last, acc, dp,
+    @pl.when(jnp.logical_not(covered0))
+    def _walk():
+        def overflow(carry):
+            widx, prev_last, _cov = carry
+            copies = [
+                pltpu.make_async_copy(blk_raw.at[b, widx], bso0, sems.at[0]),
+                pltpu.make_async_copy(
+                    blk_raw.at[b, widx + 1], bso1, sems.at[1]
+                ),
+            ]
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
+            b0 = bso0[:]
+            b1 = bso1[:]
+            acc, covered, pair_max = _pair_pick(
+                b0[:_CB], b1[:_CB], b0[_CB:], b1[_CB:], uqs, u_last,
+                prev_last, out_ref[0, 0], dp,
+            )
+            out_ref[0, 0] = acc
+            return widx + 2, pair_max, covered
+
+        jax.lax.while_loop(
+            lambda c: jnp.logical_not(c[2]),
+            overflow,
+            (start + 2, pair_max0, covered0),
         )
-        return widx + 2, pair_max, covered, acc
-
-    _, _, _, acc_fin = jax.lax.while_loop(
-        lambda c: jnp.logical_not(c[2]),
-        overflow,
-        (start + 2, pair_max0, covered0, acc1),
-    )
-    out_ref[0, 0] = acc_fin
 
 
 def srg_supported(s: int, d: int) -> bool:
