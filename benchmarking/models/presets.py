@@ -36,6 +36,20 @@ _add(ModelBenchmarkConfig(
     inference=ComponentSpec.make("importance_sampling", n_samples=2048),
 ))
 _add(ModelBenchmarkConfig(
+    "vbn_ct_is_dyn", "vbn_tpu",
+    cpd=ComponentSpec.make("categorical_table"),
+    inference=ComponentSpec.make(
+        "importance_sampling", n_samples=2048, dynamic_masks=True
+    ),
+))
+_add(ModelBenchmarkConfig(
+    "vbn_ct_mcm_dyn", "vbn_tpu",
+    cpd=ComponentSpec.make("categorical_table"),
+    inference=ComponentSpec.make(
+        "monte_carlo_marginalization", n_samples=2048, dynamic_masks=True
+    ),
+))
+_add(ModelBenchmarkConfig(
     "vbn_ct_ris", "vbn_tpu",
     cpd=ComponentSpec.make("categorical_table"),
     inference=ComponentSpec.make(
@@ -54,10 +68,27 @@ _add(ModelBenchmarkConfig(
         "rao_blackwellized_marginalization", n_samples=1024, n_particles=1024
     ),
 ))
+# Embedded-softmax fit budget: the library default (50 epochs x lr 1e-3,
+# mirroring the reference YAML) is far too small for an MLP to move off its
+# init; with the empirical-marginal init plus this jit-scanned budget the
+# CPD matches categorical_table's KL on random-net fixtures (weight decay
+# regresses unseen parent rows toward the marginal).
+_EMB_FIT = {"epochs": 200, "batch_size": 512, "lr": 5e-3, "weight_decay": 1e-3}
 _add(ModelBenchmarkConfig(
     "vbn_emb_lw", "vbn_tpu",
-    cpd=ComponentSpec.make("categorical_embedded_softmax", embedding_dim=8),
+    cpd=ComponentSpec.make(
+        "categorical_embedded_softmax", embedding_dim=8, fit=_EMB_FIT
+    ),
     inference=ComponentSpec.make("likelihood_weighting", n_samples=2048),
+))
+_add(ModelBenchmarkConfig(
+    "vbn_emb_lw_dyn", "vbn_tpu",
+    cpd=ComponentSpec.make(
+        "categorical_embedded_softmax", embedding_dim=8, fit=_EMB_FIT
+    ),
+    inference=ComponentSpec.make(
+        "likelihood_weighting", n_samples=2048, dynamic_masks=True
+    ),
 ))
 _add(ModelBenchmarkConfig("exact_oracle", "exact_oracle"))
 _add(ModelBenchmarkConfig(

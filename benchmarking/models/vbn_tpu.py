@@ -12,6 +12,8 @@ is a single compiled sweep over ``[B, S]``.
 
 from __future__ import annotations
 
+import time
+from collections import OrderedDict
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -25,6 +27,11 @@ class VBNTpuBenchmarkModel(BaseBenchmarkModel):
     def __init__(self, domain: Dict, seed: int = 0, config: Optional[Dict] = None):
         super().__init__(domain, seed, config)
         self.vbn = None
+        # Fixed row bucket for mask-dynamic fused dispatches: every
+        # dispatch pads to this many rows so the whole benchmark (and any
+        # cold one-off query after warmup) reuses ONE compiled program.
+        self.fused_bucket = int((config or {}).get("fused_bucket", 256))
+        self.warmup_ms: Optional[float] = None
 
     def _build_nodes_cpds(self) -> Dict[str, Dict]:
         from vectorizedbayesiannetwork_tpu import defaults
@@ -68,7 +75,31 @@ class VBNTpuBenchmarkModel(BaseBenchmarkModel):
         inf_name = inf_conf.pop("name")
         _, ms = self._timed(self.vbn.fit, data)
         self.vbn.set_inference_method(inf_name, **inf_conf)
+        if self._dynamic_fusable():
+            # Warm the one mask-dynamic program at the serving bucket so
+            # NO query — including a cold one-off — pays a compile. The
+            # cost is reported separately as warmup_ms (setup, like fit).
+            nodes = list(self.domain["nodes"])
+            dummy = {
+                "target": nodes[-1],
+                "evidence": {nodes[0]: np.zeros((1, 1), np.float32)},
+            }
+            _, self.warmup_ms = self._timed(
+                lambda: np.asarray(
+                    self.vbn.infer_posterior_many(
+                        [dummy], pad_bucket=self.fused_bucket
+                    )[0][0]
+                )
+            )
         return ms
+
+    def _dynamic_fusable(self) -> bool:
+        inf = getattr(self.vbn, "_inference", None)
+        return bool(
+            inf is not None
+            and getattr(inf, "dynamic_masks", False)
+            and hasattr(inf, "infer_posterior_many")
+        )
 
     # -- cpd queries ---------------------------------------------------------
     def answer_cpd_query(self, query) -> Dict:
@@ -120,6 +151,93 @@ class VBNTpuBenchmarkModel(BaseBenchmarkModel):
         sums = out.sum(axis=1, keepdims=True)
         uniform = np.full((1, k), 1.0 / k)
         return np.where(sums > 0, out / np.maximum(sums, 1e-12), uniform)
+
+    def answer_all_inference_queries(
+        self, queries: List, max_batch: int = 256
+    ) -> List[Dict]:
+        """Row-fused dispatch across HETEROGENEOUS skeletons.
+
+        The reference batches only same-skeleton queries into one model
+        call (``IIII_run_benchmark/base.py:69-125``); the mask-dynamic
+        sweep fuses *any* mix of targets/evidence patterns into one
+        [B, S] program, so a whole problem's PAC-diverse query set rides
+        a handful of fixed-bucket dispatches instead of one dispatch (or
+        one XLA compile) per skeleton.
+        """
+        if not queries or not self._dynamic_fusable():
+            return super().answer_all_inference_queries(queries, max_batch)
+        bucket = self.fused_bucket
+        # skeleton groups -> (query_dict, member queries) jobs of <= bucket rows
+        groups: "OrderedDict[str, List]" = OrderedDict()
+        for q in queries:
+            groups.setdefault(q.skeleton_id, []).append(q)
+        jobs = []
+        for qs in groups.values():
+            ev_keys = sorted(qs[0].evidence)
+            for i in range(0, len(qs), bucket):
+                chunk = qs[i : i + bucket]
+                evidence = {
+                    k: np.array(
+                        [[float(q.evidence[k])] for q in chunk], np.float32
+                    )
+                    for k in ev_keys
+                }
+                rows = len(chunk) if ev_keys else 1
+                jobs.append(
+                    (
+                        {"target": chunk[0].target, "evidence": evidence},
+                        chunk,
+                        rows,
+                    )
+                )
+        by_id = {id(q): i for i, q in enumerate(queries)}
+        out: List[Optional[Dict]] = [None] * len(queries)
+
+        def flush(batch_jobs) -> None:
+            qdicts = [j[0] for j in batch_jobs]
+            n_queries = sum(len(j[1]) for j in batch_jobs)
+            try:
+                t0 = time.perf_counter()
+                results = self.vbn.infer_posterior_many(
+                    qdicts, pad_bucket=bucket
+                )
+                pmfs = []
+                for (qd, chunk, _), (pdf, samples) in zip(batch_jobs, results):
+                    pdf = np.asarray(pdf)  # forces device completion
+                    samples = np.asarray(samples)
+                    pmf = self._posterior_pmf(qd["target"], pdf, samples)
+                    if pmf.shape[0] == 1 and len(chunk) > 1:
+                        pmf = np.repeat(pmf, len(chunk), axis=0)
+                    pmfs.append(pmf)
+                ms = (time.perf_counter() - t0) * 1000.0
+                per_query = ms / max(1, n_queries)
+                for (qd, chunk, _), pmf in zip(batch_jobs, pmfs):
+                    for i, q in enumerate(chunk):
+                        out[by_id[id(q)]] = {
+                            "ok": True,
+                            "probs": [float(p) for p in pmf[i]],
+                            "timing_ms": per_query,
+                            "batched": n_queries,
+                            "fused": len(batch_jobs),
+                        }
+            except Exception as exc:
+                from ..errors import failure_record
+
+                rec = failure_record(exc, context={"timing_ms": None})
+                for _, chunk, _ in batch_jobs:
+                    for q in chunk:
+                        out[by_id[id(q)]] = dict(rec)
+
+        pending, pending_rows = [], 0
+        for job in jobs:
+            if pending and pending_rows + job[2] > bucket:
+                flush(pending)
+                pending, pending_rows = [], 0
+            pending.append(job)
+            pending_rows += job[2]
+        if pending:
+            flush(pending)
+        return [r if r is not None else {"ok": False} for r in out]
 
     def answer_inference_queries(self, queries: List) -> List[Dict]:
         if not queries:

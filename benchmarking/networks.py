@@ -164,10 +164,103 @@ def asia() -> DiscreteBN:
     return bn
 
 
+def earthquake() -> DiscreteBN:
+    """Russell & Norvig's burglary/earthquake alarm network (bnlearn's
+    'earthquake'): B, E -> Alarm -> JohnCalls, MaryCalls. Canonical CPTs
+    from AIMA §14 (the same parameterization bnlearn distributes)."""
+    bn = DiscreteBN(name="earthquake")
+    spec = {
+        "burglary": (["true", "false"], [], np.array([0.01, 0.99])),
+        "earthquake": (["true", "false"], [], np.array([0.02, 0.98])),
+        "alarm": (
+            ["true", "false"],
+            ["burglary", "earthquake"],
+            np.array(
+                [
+                    [[0.95, 0.05], [0.94, 0.06]],
+                    [[0.29, 0.71], [0.001, 0.999]],
+                ]
+            ),
+        ),
+        "johncalls": (
+            ["true", "false"],
+            ["alarm"],
+            np.array([[0.90, 0.10], [0.05, 0.95]]),
+        ),
+        "marycalls": (
+            ["true", "false"],
+            ["alarm"],
+            np.array([[0.70, 0.30], [0.01, 0.99]]),
+        ),
+    }
+    for node, (states, parents, cpt) in spec.items():
+        bn.nodes.append(node)
+        bn.states[node] = states
+        bn.parents[node] = parents
+        bn.cpts[node] = cpt
+    bn.nodes = bn.topological_order()
+    bn.validate()
+    return bn
+
+
+def survey() -> DiscreteBN:
+    """Scutari's 6-node 'survey' network (Bayesian Networks with Examples
+    in R, ch. 1): Age, Sex -> Education -> Occupation, Residence ->
+    Travel. Canonical structure; CPT values follow the book's
+    parameterization (ground truth is computed from THIS encoding, so the
+    benchmark is self-consistent regardless of rounding)."""
+    bn = DiscreteBN(name="survey")
+    spec = {
+        "age": (["young", "adult", "old"], [], np.array([0.30, 0.50, 0.20])),
+        "sex": (["m", "f"], [], np.array([0.60, 0.40])),
+        "education": (
+            ["high", "uni"],
+            ["age", "sex"],
+            np.array(
+                [
+                    [[0.75, 0.25], [0.64, 0.36]],
+                    [[0.72, 0.28], [0.70, 0.30]],
+                    [[0.88, 0.12], [0.90, 0.10]],
+                ]
+            ),
+        ),
+        "occupation": (
+            ["emp", "self"],
+            ["education"],
+            np.array([[0.96, 0.04], [0.92, 0.08]]),
+        ),
+        "residence": (
+            ["small", "big"],
+            ["education"],
+            np.array([[0.25, 0.75], [0.20, 0.80]]),
+        ),
+        "travel": (
+            ["car", "train", "other"],
+            ["occupation", "residence"],
+            np.array(
+                [
+                    [[0.48, 0.42, 0.10], [0.58, 0.24, 0.18]],
+                    [[0.56, 0.36, 0.08], [0.70, 0.21, 0.09]],
+                ]
+            ),
+        ),
+    }
+    for node, (states, parents, cpt) in spec.items():
+        bn.nodes.append(node)
+        bn.states[node] = states
+        bn.parents[node] = parents
+        bn.cpts[node] = cpt
+    bn.nodes = bn.topological_order()
+    bn.validate()
+    return bn
+
+
 BUILTIN_NETWORKS: Dict[str, Callable[[], DiscreteBN]] = {
     "sprinkler": sprinkler,
     "cancer": cancer,
     "asia": asia,
+    "earthquake": earthquake,
+    "survey": survey,
 }
 
 

@@ -14,12 +14,12 @@ from __future__ import annotations
 import json
 import os
 import time
-from collections import OrderedDict
 from typing import Dict, Iterable, List, Optional
 
 from .bundles import BenchmarkBundle, read_jsonl, write_jsonl
 from .data_gen import load_dataset, load_domain
 from .errors import ErrorSummary, failure_record
+from .models.base import iter_inference_batches as _iter_inference_batches
 from .models.registry import MODEL_REGISTRY
 from .query_gen import CPDQuery, InferenceQuery
 
@@ -127,12 +127,7 @@ def iter_inference_batches(
     queries: List[InferenceQuery], max_batch: int = 256
 ) -> Iterable[List[InferenceQuery]]:
     """Group by skeleton_id, preserving first-seen order (parity 69-110)."""
-    groups: "OrderedDict[str, List[InferenceQuery]]" = OrderedDict()
-    for q in queries:
-        groups.setdefault(q.skeleton_id, []).append(q)
-    for _, batch in groups.items():
-        for i in range(0, len(batch), max_batch):
-            yield batch[i : i + max_batch]
+    return _iter_inference_batches(queries, max_batch)
 
 
 class BenchmarkRunner:
@@ -217,29 +212,25 @@ class BenchmarkRunner:
                             "result": result,
                         }
                     )
-                for batch in iter_inference_batches(inf_queries, max_batch):
-                    try:
-                        results = model.answer_inference_queries(batch)
-                    except Exception as exc:
-                        rec = failure_record(exc)
-                        errors.add(rec)
-                        results = [dict(rec) for _ in batch]
-                    for q, result in zip(batch, results):
-                        if result.get("timing_ms"):
-                            stats.add(result["timing_ms"])
-                        if not result.get("ok"):
-                            errors.add(result)
-                        records.append(
-                            {
-                                "run": self.run_id,
-                                "model": cfg.config_id,
-                                "config_hash": cfg.config_hash(),
-                                "problem": problem,
-                                "kind": "inference",
-                                "query": q.to_dict(),
-                                "result": result,
-                            }
-                        )
+                inf_results = model.answer_all_inference_queries(
+                    inf_queries, max_batch=max_batch
+                )
+                for q, result in zip(inf_queries, inf_results):
+                    if result.get("timing_ms"):
+                        stats.add(result["timing_ms"])
+                    if not result.get("ok"):
+                        errors.add(result)
+                    records.append(
+                        {
+                            "run": self.run_id,
+                            "model": cfg.config_id,
+                            "config_hash": cfg.config_hash(),
+                            "problem": problem,
+                            "kind": "inference",
+                            "query": q.to_dict(),
+                            "result": result,
+                        }
+                    )
                 rdir = self.bundle.dir("results", problem)
                 write_jsonl(
                     os.path.join(rdir, f"{cfg.config_id}.jsonl"), records
@@ -252,6 +243,9 @@ class BenchmarkRunner:
                     "success_rate": ok / max(1, len(records)),
                     "timing": stats.summary(),
                 }
+                warmup_ms = getattr(model, "warmup_ms", None)
+                if warmup_ms is not None:
+                    psum[cfg.config_id]["warmup_ms"] = warmup_ms
             summary["problems"][problem] = psum
         summary["errors"] = errors.counts()
         log_dir = self.bundle.dir("logs")

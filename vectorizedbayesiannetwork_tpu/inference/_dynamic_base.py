@@ -24,14 +24,17 @@ from ._base import CompiledMethod, Program
 
 
 def pack_dynamic_inputs(
-    plan, queries: Sequence[Query], *, clamp_obs: bool
+    plan, queries: Sequence[Query], *, clamp_obs: bool, pad_to: int = 1
 ):
     """Concat queries' rows + per-row masks/targets, pow2-padded.
 
     Returns ``(inputs_tuple, spans, b_tot, b_pad)`` where spans is
     ``[(lo, hi, target_idx)]`` per query. Shared by the single-query
     dynamic programs and the heterogeneous row-fused dispatch so the two
-    paths can never drift.
+    paths can never drift. ``pad_to`` raises the padded row count to a
+    fixed serving bucket so every dispatch below that size reuses ONE
+    compiled program (a cold one-off query pays zero compiles once the
+    bucket is warm).
     """
     node_to_idx = plan.node_to_idx()
     rows, evs, dos, tgts, spans = [], [], [], [], []
@@ -51,7 +54,7 @@ def pack_dynamic_inputs(
         spans.append((at, at + b, node_to_idx[q.target]))
         at += b
     b_tot = at
-    b_pad = 1 << max(0, (b_tot - 1)).bit_length()
+    b_pad = max(1 << max(0, (b_tot - 1)).bit_length(), int(pad_to))
     pad = b_pad - b_tot
     if pad:
         rows.append(np.zeros((pad, plan.total_dim), np.float32))
@@ -136,13 +139,15 @@ class DynamicMaskMethod(CompiledMethod):
         and outputs are split back per query. Falls back to the generic
         program-tuple fusion otherwise."""
         if not self._dynamic_enabled(kwargs):
+            kwargs.pop("pad_bucket", None)
             return super().infer_posterior_many(vbn, queries, **kwargs)
+        pad_bucket = int(kwargs.pop("pad_bucket", 1))
         s = int(kwargs.get("n_samples", self.n_samples))
         opts = self._dynamic_opts(kwargs)
         plan = self._canonical_plan(vbn)
         cpds = self._cpds(vbn, plan)
         inputs, spans, b_tot, b_pad = pack_dynamic_inputs(
-            plan, queries, clamp_obs=self.pack_clamp_obs
+            plan, queries, clamp_obs=self.pack_clamp_obs, pad_to=pad_bucket
         )
         prog_fn = self._compiled(
             vbn,

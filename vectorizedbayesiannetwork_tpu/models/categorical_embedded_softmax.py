@@ -293,6 +293,29 @@ class CategoricalEmbeddedSoftmaxCPD(BaseCPD):
             pv_mask[d, : cards[d]] = True
         if rebuild:
             params = self._build_params(key)
+            # Data-dependent init: start the class logits at the empirical
+            # log-marginal — the cross-entropy OPTIMUM for root nodes, and a
+            # calibrated bias for the MLP's final layer otherwise — so the
+            # default training budget refines a good solution instead of
+            # crawling up from uniform. (The reference trains from torch's
+            # default init, vbn/cpds/categorical_embedded_softmax.py:330-430;
+            # at its default 50 epochs x lr 1e-3 that leaves logits within
+            # ~0.05 of zero, which cannot represent a skewed marginal.)
+            t_idx = np.zeros(x_np.shape, np.int64)
+            for d in range(self.output_dim):
+                vals = cv_pad[d, cm[d]]
+                t_idx[:, d] = np.searchsorted(vals, x_np[:, d])
+            hist = np.zeros((self.output_dim, c), np.float64)
+            for d in range(self.output_dim):
+                hist[d] = np.bincount(t_idx[:, d], minlength=c)
+            hist = (hist + 1.0) / (hist.sum(axis=1, keepdims=True) + c)
+            log_marg = np.where(cm, np.log(hist), 0.0).astype(np.float32)
+            if self.input_dim == 0:
+                params["net"]["logits"] = jnp.asarray(log_marg)
+            else:
+                params["net"]["layers"][-1]["b"] = jnp.asarray(
+                    log_marg.reshape(-1)
+                )
         params = {
             **params,
             "class_values": jnp.asarray(cv_pad),
