@@ -84,3 +84,68 @@ def test_fallback_method_sequential():
     for pdf, samples in res:
         assert np.all(np.isfinite(np.asarray(pdf)))
         assert np.asarray(samples).ndim == 3
+
+
+def _fresh_discrete_vbn():
+    import networkx as nx
+    import pandas as pd
+
+    g = np.random.default_rng(3)
+    n = 2000
+    a = g.integers(0, 3, size=n)
+    b = (a + g.integers(0, 2, size=n)) % 4
+    c = (b + g.integers(0, 3, size=n)) % 2
+    df = pd.DataFrame({"a": a, "b": b, "c": c}, dtype=float)
+    G = nx.DiGraph([("a", "b"), ("b", "c")])
+    v = VBN(G, seed=0)
+    conf = lambda k: dict(defaults.cpd("categorical_table"), n_classes=k)
+    v.set_learning_method(
+        "node_wise", nodes_cpds={"a": conf(3), "b": conf(4), "c": conf(2)}
+    )
+    v.fit(df)
+    return v
+
+
+DISCRETE_QUERIES = [
+    {"target": "c", "evidence": {"a": [[0.0], [2.0]]}},
+    {"target": "a", "evidence": {"c": [[1.0]]}},
+    {"target": "b", "evidence": {}},
+]
+
+
+@pytest.mark.parametrize(
+    "method", ["likelihood_weighting", "importance_sampling",
+               "monte_carlo_marginalization"]
+)
+def test_pmf_path_matches_host_epilogue(method):
+    """On-device pmf reduction == host-side weighted bincount, same key."""
+    k_max = 4
+    v1 = _fresh_discrete_vbn()
+    v1.set_inference_method(method, n_samples=S, dynamic_masks=True)
+    fused = v1.infer_posterior_pmf(
+        DISCRETE_QUERIES, n_classes=k_max, pad_bucket=8
+    )
+    assert fused is not None
+    pmf_rows, spans = fused
+    assert pmf_rows.shape == (4, k_max)  # 2 + 1 + 1 rows
+
+    v2 = _fresh_discrete_vbn()
+    v2.set_inference_method(method, n_samples=S, dynamic_masks=True)
+    many = v2.infer_posterior_many(DISCRETE_QUERIES, pad_bucket=8)
+    for (lo, hi, _t), (pdf, samples) in zip(spans, many):
+        w = np.maximum(np.nan_to_num(np.asarray(pdf)), 0.0)
+        cls = np.clip(
+            np.rint(np.asarray(samples)[..., 0]).astype(int), 0, k_max - 1
+        )
+        expect = np.zeros((hi - lo, k_max))
+        for i in range(hi - lo):
+            expect[i] = np.bincount(cls[i], weights=w[i], minlength=k_max)
+        np.testing.assert_allclose(
+            pmf_rows[lo:hi], expect, rtol=1e-4, atol=1e-6
+        )
+
+
+def test_pmf_path_none_without_dynamic_masks():
+    v = _fresh_discrete_vbn()
+    v.set_inference_method("likelihood_weighting", n_samples=S)
+    assert v.infer_posterior_pmf(DISCRETE_QUERIES, n_classes=4) is None

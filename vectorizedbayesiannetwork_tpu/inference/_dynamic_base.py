@@ -13,8 +13,10 @@ workloads.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.base import Query
@@ -165,3 +167,63 @@ class DynamicMaskMethod(CompiledMethod):
             d = plan.node_dims[t_idx]
             res.append((pdf[lo:hi], samples[lo:hi, :, :d]))
         return res
+
+    def infer_posterior_pmf(
+        self, vbn, queries, *, n_classes: int, pad_bucket: int = 1, **kwargs
+    ) -> Optional[Tuple[np.ndarray, List[Tuple[int, int, int]]]]:
+        """Fused dispatch whose OUTPUT is the discrete posterior pmf.
+
+        The particle cloud never leaves the device: the weighted class
+        histogram ``sum_s w[b,s] * onehot(sample[b,s])`` — the reference
+        backend's host-side epilogue
+        (``/root/reference/benchmarking/models/vbn.py:202-242``) — runs
+        in-graph as one ``[B*S, k]`` one-hot contraction, so a whole
+        problem's query set costs ONE dispatch plus a ``[B, k]`` fetch
+        (kilobytes) instead of shipping ``[B, S]`` weights and samples to
+        host. Rows are UNNORMALIZED; the caller normalizes over each
+        query's true class support (semantics stay in one place).
+
+        Returns ``(pmf [b_tot, n_classes] numpy, spans)`` or None when the
+        method is not running in dynamic-mask mode.
+        """
+        if not self._dynamic_enabled(kwargs):
+            return None
+        k = int(n_classes)
+        s = int(kwargs.get("n_samples", self.n_samples))
+        opts = self._dynamic_opts(kwargs)
+        plan = self._canonical_plan(vbn)
+        cpds = self._cpds(vbn, plan)
+        inputs, spans, b_tot, b_pad = pack_dynamic_inputs(
+            plan, queries, clamp_obs=self.pack_clamp_obs, pad_to=pad_bucket
+        )
+
+        def build():
+            inner = self._dynamic_fn(plan, cpds, s, opts)
+
+            def fn(params_tuple, key, packed_in):
+                pdf, samples, *aux = inner(params_tuple, key, packed_in)
+                w = jnp.maximum(jnp.nan_to_num(pdf), 0.0)
+                cls = jnp.clip(
+                    jnp.round(samples[..., 0]).astype(jnp.int32), 0, k - 1
+                )
+                oh = jax.nn.one_hot(cls, k, dtype=jnp.float32)
+                pmf = jnp.einsum(
+                    "bs,bsk->bk", w, oh,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                return (pmf,) + tuple(aux)
+
+            return fn
+
+        prog_fn = self._compiled(
+            vbn,
+            plan,
+            (self.dynamic_tag, "pmf", k, s) + opts + (b_pad,),
+            build,
+        )
+        outs = prog_fn(
+            self._params_tuple(vbn, plan), vbn.next_key_spec(), inputs
+        )
+        pmf, *aux = outs
+        self._note_dynamic_aux(aux, slice(0, b_tot))
+        return np.asarray(pmf)[:b_tot], spans

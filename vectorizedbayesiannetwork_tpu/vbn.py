@@ -17,8 +17,6 @@ import io
 import json
 import os
 from dataclasses import dataclass
-from importlib import resources
-from types import SimpleNamespace
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -48,45 +46,52 @@ from .core.utils import (
 __version__ = "0.1.0"
 
 
-@dataclass
+@dataclass(frozen=True)
 class ConfigItem:
+    """One packaged default config, browsable as ``vbn.config.cpds.mdn``.
+
+    Accepted anywhere a method/CPD config is: the setters and
+    ``nodes_cpds`` read ``.name``/``.params``; ``to_dict()`` renders the
+    flat dict form the learning config stores.
+    """
+
     name: str
     params: Dict
     kind: Optional[str] = None
 
     def to_dict(self) -> Dict[str, Any]:
         if self.kind == "cpd":
-            return {"cpd": self.name, **self.params}
-        if self.kind in {"learning", "inference", "sampling", "update"}:
-            return {"name": self.name, **self.params}
-        return dict(self.params)
+            head = {"cpd": self.name}
+        elif self.kind in ("learning", "inference", "sampling", "update"):
+            head = {"name": self.name}
+        else:
+            head = {}
+        return {**head, **self.params}
 
-    def as_dict(self) -> Dict[str, Any]:
-        return self.to_dict()
+    as_dict = to_dict
 
 
-class ConfigNamespace(SimpleNamespace):
-    def __getitem__(self, item):
-        return getattr(self, item)
+class ConfigNamespace(dict):
+    """Attribute-addressable view over a config catalog level."""
+
+    __getattr__ = dict.__getitem__
 
 
 def _load_configs() -> ConfigNamespace:
-    categories = {}
-    base = resources.files("vectorizedbayesiannetwork_tpu.configs")
-    for category in ["cpds", "learning", "inference", "sampling", "update"]:
-        cat_dir = base / category
-        items = {}
+    """Browsable snapshot of the packaged defaults, one ConfigItem per
+    YAML, built from the same cached catalog ``defaults`` reads."""
+    from .defaults import _catalog
+
+    tree = ConfigNamespace()
+    for category in ("cpds", "learning", "inference", "sampling", "update"):
         kind = "cpd" if category == "cpds" else category
-        if cat_dir.is_dir():
-            for path in sorted(cat_dir.iterdir(), key=lambda p: p.name):
-                if path.name.endswith(".yaml"):
-                    data = yaml.safe_load(path.read_text(encoding="utf-8")) or {}
-                    name = data.pop("name", path.name[: -len(".yaml")])
-                    items[path.name[: -len(".yaml")]] = ConfigItem(
-                        name=name, params=data, kind=kind
-                    )
-        categories[category] = ConfigNamespace(**items)
-    return ConfigNamespace(**categories)
+        level = ConfigNamespace()
+        for stem, declared, text in _catalog(category):
+            params = yaml.safe_load(text) or {}
+            params.pop("name", None)
+            level[stem] = ConfigItem(name=declared, params=params, kind=kind)
+        tree[category] = level
+    return tree
 
 
 def _detach(x):
@@ -215,58 +220,42 @@ class VBN:
         )
 
     # ----------------- configuration -----------------
+    def _install_method(self, slot: str, registry, label: str, method, kwargs):
+        """Shared setter body: str/dict/ConfigItem resolve against the
+        registry and instantiate; a bare callable installs as-is. Returns
+        the stored config dict (setters may append to it)."""
+        if callable(method) and not isinstance(method, (str, dict, ConfigItem)):
+            impl = method
+            config = {
+                "callable": True,
+                "name": getattr(method, "__qualname__", str(method)),
+            }
+        else:
+            name, base_params = _resolve_method_arg(method, registry, label)
+            params = {**base_params, **kwargs}
+            impl = registry[name](**params)
+            config = {"name": name, "params": params}
+        setattr(self, f"_{slot}", impl)
+        setattr(self, f"_{slot}_config", config)
+        return config
+
     def set_learning_method(
         self, method, nodes_cpds: Optional[Dict[str, Dict]] = None, **kwargs
     ):
-        if callable(method) and not isinstance(method, (str, dict, ConfigItem)):
-            self._learning = method
-            self._learning_config = {
-                "callable": True,
-                "name": getattr(method, "__qualname__", str(method)),
-                "nodes_cpds": _serialize_nodes_cpds(nodes_cpds),
-            }
-            return
-        name, base_params = _resolve_method_arg(
-            method, LEARNING_REGISTRY, "learning method"
+        config = self._install_method(
+            "learning", LEARNING_REGISTRY, "learning method", method, kwargs
         )
-        params = {**base_params, **kwargs}
-        serialized = _serialize_nodes_cpds(nodes_cpds)
-        self._learning = LEARNING_REGISTRY[name](**params)
-        self._learning_config = {
-            "name": name,
-            "params": params,
-            "nodes_cpds": serialized,
-        }
+        config["nodes_cpds"] = _serialize_nodes_cpds(nodes_cpds)
 
     def set_inference_method(self, method, **kwargs):
-        if callable(method) and not isinstance(method, (str, dict, ConfigItem)):
-            self._inference = method
-            self._inference_config = {
-                "callable": True,
-                "name": getattr(method, "__qualname__", str(method)),
-            }
-            return
-        name, base_params = _resolve_method_arg(
-            method, INFERENCE_REGISTRY, "inference method"
+        self._install_method(
+            "inference", INFERENCE_REGISTRY, "inference method", method, kwargs
         )
-        params = {**base_params, **kwargs}
-        self._inference = INFERENCE_REGISTRY[name](**params)
-        self._inference_config = {"name": name, "params": params}
 
     def set_sampling_method(self, method, **kwargs):
-        if callable(method) and not isinstance(method, (str, dict, ConfigItem)):
-            self._sampling = method
-            self._sampling_config = {
-                "callable": True,
-                "name": getattr(method, "__qualname__", str(method)),
-            }
-            return
-        name, base_params = _resolve_method_arg(
-            method, SAMPLING_REGISTRY, "sampling method"
+        self._install_method(
+            "sampling", SAMPLING_REGISTRY, "sampling method", method, kwargs
         )
-        params = {**base_params, **kwargs}
-        self._sampling = SAMPLING_REGISTRY[name](**params)
-        self._sampling_config = {"name": name, "params": params}
 
     # ----------------- data prep -----------------
     def _prepare_data(self, data) -> Dict[str, np.ndarray]:
@@ -402,6 +391,27 @@ class VBN:
             (_detach(p), _detach(s))
             for p, s in results
         ]
+
+    def infer_posterior_pmf(self, queries, *, n_classes, **kwargs):
+        """Fused multi-query dispatch returning discrete posterior pmfs.
+
+        For inference methods running in dynamic-mask mode, the weighted
+        class histogram reduces ON DEVICE and only a ``[B, n_classes]``
+        array crosses to host — the serving shape for discrete posterior
+        queries (one dispatch + a kilobyte fetch per query batch). Returns
+        ``(pmf_rows, spans)`` with UNNORMALIZED rows, or None when the
+        active method has no fused pmf path (caller falls back to
+        ``infer_posterior_many``).
+        """
+        if self._inference is None:
+            raise RuntimeError(
+                "Call set_inference_method(...) before infer_posterior_pmf()."
+            )
+        fused = getattr(self._inference, "infer_posterior_pmf", None)
+        if fused is None:
+            return None
+        qs = [self._normalize_query(q) for q in queries]
+        return fused(self, qs, n_classes=n_classes, **kwargs)
 
     def _posterior_stats(
         self, pdf: jax.Array, samples: jax.Array, *, eps: float = 1e-12
