@@ -14,43 +14,50 @@ from typing import Dict, Tuple
 from ..config_cast import UPDATE_SCHEMA, coerce_numbers
 from ..core.utils import concat_parents
 
-UPDATE_REQUIRED_KEYS = {"lr", "n_steps", "batch_size"}
-UPDATE_ALLOWED_KEYS = set(UPDATE_SCHEMA.keys())
+UPDATE_REQUIRED_KEYS = frozenset({"lr", "n_steps", "batch_size"})
+UPDATE_ALLOWED_KEYS = frozenset(UPDATE_SCHEMA)
 
 
 def resolve_node_update(vbn, node: str) -> Dict:
-    learning_cfg = getattr(vbn, "_learning_config", None) or {}
-    nodes_cpds = learning_cfg.get("nodes_cpds") or {}
-    if not isinstance(nodes_cpds, dict) or node not in nodes_cpds:
+    """Extract, validate, and type-coerce one node's ``update`` config.
+
+    The contract (parity with the reference): every node the policy
+    touches must appear in the learning config's ``nodes_cpds`` with an
+    ``update`` dict carrying at least lr / n_steps / batch_size and
+    nothing outside the update schema.
+    """
+    catalog = (getattr(vbn, "_learning_config", None) or {}).get("nodes_cpds")
+    if not isinstance(catalog, dict) or node not in catalog:
         raise ValueError(
             f"Missing CPD config for node {node!r}. "
             "Provide an 'update' dict per node."
         )
-    conf = nodes_cpds.get(node) or {}
-    if not isinstance(conf, dict):
+    entry = catalog[node] or {}
+    if not isinstance(entry, dict):
         raise ValueError(f"CPD config for node {node!r} must be a dict.")
-    if "update" not in conf:
+    try:
+        spec = entry["update"]
+    except KeyError:
         raise ValueError(
             f"CPD config for node {node!r} must include an 'update' dict."
-        )
-    update_conf = conf["update"]
-    if not isinstance(update_conf, dict):
+        ) from None
+    if not isinstance(spec, dict):
         raise ValueError(
             f"CPD 'update' config for node {node!r} must be a dict."
         )
-    missing = sorted(UPDATE_REQUIRED_KEYS - set(update_conf))
-    if missing:
+    given = frozenset(spec)
+    if not UPDATE_REQUIRED_KEYS <= given:
         raise ValueError(
             f"CPD 'update' config for node {node!r} is missing required "
-            f"keys: {missing}."
+            f"keys: {sorted(UPDATE_REQUIRED_KEYS - given)}."
         )
-    unknown = sorted(set(update_conf) - UPDATE_ALLOWED_KEYS)
-    if unknown:
+    if not given <= UPDATE_ALLOWED_KEYS:
         raise ValueError(
             f"Unknown keys in CPD 'update' config for node {node!r}: "
-            f"{unknown}. Allowed keys: {sorted(UPDATE_ALLOWED_KEYS)}."
+            f"{sorted(given - UPDATE_ALLOWED_KEYS)}. "
+            f"Allowed keys: {sorted(UPDATE_ALLOWED_KEYS)}."
         )
-    return coerce_numbers(update_conf, UPDATE_SCHEMA)
+    return coerce_numbers(spec, UPDATE_SCHEMA)
 
 
 class BaseUpdatePolicy:
