@@ -103,11 +103,7 @@ class VBNTpuBenchmarkModel(BaseBenchmarkModel):
 
     def _dynamic_fusable(self) -> bool:
         inf = getattr(self.vbn, "_inference", None)
-        return bool(
-            inf is not None
-            and getattr(inf, "dynamic_masks", False)
-            and hasattr(inf, "infer_posterior_many")
-        )
+        return bool(inf is not None and getattr(inf, "fused_pmf_capable", False))
 
     # -- cpd queries ---------------------------------------------------------
     def answer_cpd_query(self, query) -> Dict:

@@ -1,0 +1,164 @@
+"""Exact enumeration (fused categorical_exact serving path).
+
+The mask-dynamic enumeration program (inference/_exact_enum.py) must
+reproduce the brute-force joint-table posterior computed in numpy from
+the SAME fitted CPTs — for evidence, do, and latent-parent queries alike
+(the reference's categorical_exact handles only parents-observed queries,
+``/root/reference/vbn/inference/categorical_exact.py:13-128``).
+"""
+
+import itertools
+
+import networkx as nx
+import numpy as np
+import pandas as pd
+import pytest
+
+from vectorizedbayesiannetwork_tpu import VBN, defaults
+
+CARDS = {"a": 3, "b": 2, "c": 4, "d": 2}
+EDGES = [("a", "c"), ("b", "c"), ("c", "d")]
+
+
+@pytest.fixture(scope="module")
+def vbn():
+    g = np.random.default_rng(11)
+    n = 5000
+    a = g.integers(0, 3, size=n)
+    b = g.integers(0, 2, size=n)
+    c = (a + 2 * b + g.integers(0, 2, size=n)) % 4
+    d = (c + g.integers(0, 2, size=n)) % 2
+    df = pd.DataFrame({"a": a, "b": b, "c": c, "d": d}, dtype=float)
+    v = VBN(nx.DiGraph(EDGES), seed=0)
+    v.set_learning_method(
+        "node_wise",
+        nodes_cpds={
+            k: dict(defaults.cpd("categorical_table"), n_classes=CARDS[k])
+            for k in CARDS
+        },
+    )
+    v.fit(df)
+    v.set_inference_method("categorical_exact")
+    return v
+
+
+def _joint_table(v):
+    """Brute-force joint from the fitted CPTs, keyed by topo order."""
+    topo = list(v.dag.topological_order())
+    joint = {}
+    for state in itertools.product(*[range(CARDS[n]) for n in topo]):
+        p = 1.0
+        assign = dict(zip(topo, state))
+        for node in topo:
+            parents = list(v.dag.parents(node))
+            h = v.cpd(node)
+            if parents:
+                row = np.array(
+                    [[float(assign[p_]) for p_ in parents]], np.float32
+                )
+            else:
+                row = None
+            probs = np.asarray(
+                v.nodes[node].categorical_probs(v.params[node], row)
+            ).reshape(-1)
+            p *= probs[assign[node]]
+        joint[state] = p
+    return topo, joint
+
+
+def _truth(v, topo, joint, target, evidence, do):
+    k = CARDS[target]
+    out = np.zeros(k)
+    for state, p in joint.items():
+        assign = dict(zip(topo, state))
+        if any(assign[n] != int(val) for n, val in evidence.items()):
+            continue
+        if do:
+            # graph surgery: drop intervened nodes' own factors
+            if any(assign[n] != int(val) for n, val in do.items()):
+                continue
+            p = 1.0
+            for node in topo:
+                if node in do:
+                    continue
+                parents = list(v.dag.parents(node))
+                row = (
+                    np.array(
+                        [[float(assign[q]) for q in parents]], np.float32
+                    )
+                    if parents
+                    else None
+                )
+                probs = np.asarray(
+                    v.nodes[node].categorical_probs(v.params[node], row)
+                ).reshape(-1)
+                p *= probs[assign[node]]
+        out[assign[target]] += p
+    return out / out.sum()
+
+
+QUERIES = [
+    {"target": "d", "evidence": {"a": 1.0}},              # latent parent c
+    {"target": "a", "evidence": {"d": 1.0, "b": 0.0}},    # diagnosis
+    {"target": "c", "evidence": {"a": 2.0, "b": 1.0}},    # parents observed
+    {"target": "d", "do": {"c": 3.0}},                    # intervention
+    {"target": "c", "evidence": {"d": 0.0}, "do": {"a": 0.0}},
+    {"target": "b", "evidence": {}},                      # prior marginal
+]
+
+
+def test_enum_matches_bruteforce(vbn):
+    topo, joint = _joint_table(vbn)
+    qdicts = []
+    for q in QUERIES:
+        qdicts.append(
+            {
+                "target": q["target"],
+                "evidence": {
+                    n: [[v]] for n, v in (q.get("evidence") or {}).items()
+                },
+                "do": {n: [[v]] for n, v in (q.get("do") or {}).items()},
+            }
+        )
+    fused = vbn.infer_posterior_pmf(qdicts, n_classes=4, pad_bucket=8)
+    assert fused is not None
+    rows, spans = fused
+    for q, (lo, hi, _t) in zip(QUERIES, spans):
+        k = CARDS[q["target"]]
+        got = rows[lo:hi, :k]
+        got = got / got.sum(axis=1, keepdims=True)
+        want = _truth(
+            vbn, topo, joint, q["target"],
+            q.get("evidence") or {}, q.get("do") or {},
+        )
+        np.testing.assert_allclose(got[0], want, rtol=2e-4, atol=1e-6)
+
+
+def test_enum_refuses_oversized_or_continuous(vbn):
+    vbn.set_inference_method("categorical_exact", max_states=4)
+    assert (
+        vbn.infer_posterior_pmf(
+            [{"target": "d", "evidence": {"a": [[0.0]]}}], n_classes=4
+        )
+        is None
+    )
+    vbn.set_inference_method("categorical_exact")
+
+    # continuous net -> unsupported
+    g = np.random.default_rng(0)
+    df = pd.DataFrame(
+        {"x": g.normal(size=400), "y": g.normal(size=400)}, dtype=float
+    )
+    vc = VBN(nx.DiGraph([("x", "y")]), seed=0)
+    vc.set_learning_method(
+        "node_wise",
+        nodes_cpds={k: defaults.cpd("linear_gaussian") for k in ["x", "y"]},
+    )
+    vc.fit(df)
+    vc.set_inference_method("categorical_exact")
+    assert (
+        vc.infer_posterior_pmf(
+            [{"target": "y", "evidence": {"x": [[0.0]]}}], n_classes=2
+        )
+        is None
+    )

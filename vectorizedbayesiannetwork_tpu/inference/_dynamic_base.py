@@ -85,6 +85,11 @@ class DynamicMaskMethod(CompiledMethod):
     dynamic_tag = "dyn"
     pack_clamp_obs = False  # whether evidence values sanitize at pack time
 
+    @property
+    def fused_pmf_capable(self) -> bool:
+        """Whether ``infer_posterior_pmf`` will serve (vs return None)."""
+        return bool(getattr(self, "dynamic_masks", False))
+
     def _dynamic_enabled(self, kwargs) -> bool:
         return bool(
             kwargs.get("dynamic_masks", getattr(self, "dynamic_masks", False))

@@ -9,21 +9,70 @@ support values; anything else routes to the registry fallback.
 
 from __future__ import annotations
 
+from typing import List, Optional, Tuple
+
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.base import Query
-from ..core.plan import pack_fixed_values
+from ..core.plan import get_plan, pack_fixed_values
 from ..core.registry import register_inference
 from ._base import CompiledMethod
+from ._dynamic_base import pack_dynamic_inputs
+from ._exact_enum import exact_enum_supported, make_exact_enum_fn
 from .gaussian_exact import make_fallback
 
 
 @register_inference("categorical_exact")
 class CategoricalExact(CompiledMethod):
-    def __init__(self, fallback: str = "likelihood_weighting", **kwargs) -> None:
+    # Fused pmf serving rides the exact-enumeration program (below), so
+    # the backend's fused dispatcher can treat this method like the
+    # mask-dynamic samplers.
+    fused_pmf_capable = True
+
+    def __init__(
+        self,
+        fallback: str = "likelihood_weighting",
+        max_states: int = 1 << 16,
+        **kwargs,
+    ) -> None:
         super().__init__()
         self._fallback = make_fallback(fallback, "categorical_exact", kwargs)
         self._last_fallback = False
+        # Joint-state budget for the enumeration program: [S, n*k] one-hot
+        # code and [B, S] weight matrices must fit comfortably in HBM.
+        self.max_states = int(max_states)
+
+    def infer_posterior_pmf(
+        self, vbn, queries, *, n_classes: int, pad_bucket: int = 1, **kwargs
+    ) -> Optional[Tuple[np.ndarray, List[Tuple[int, int, int]]]]:
+        """Fused EXACT pmfs for heterogeneous discrete queries.
+
+        One enumeration program per network (``_exact_enum.py``) answers
+        every evidence/do/target skeleton in one dispatch — exactly, with
+        latent parents marginalized in closed form, a superset of the
+        reference method's parents-observed fast path. Returns None when
+        the network is not fully discrete or exceeds ``max_states`` (the
+        caller falls back to per-query programs).
+        """
+        topo = tuple(vbn.dag.topological_order())
+        plan = get_plan(vbn, Query(target=topo[0], evidence={}, do={}))
+        cpds = self._cpds(vbn, plan)
+        if not exact_enum_supported(plan, cpds, self.max_states):
+            return None
+        k = int(n_classes)
+        inputs, spans, b_tot, b_pad = pack_dynamic_inputs(
+            plan, queries, clamp_obs=True, pad_to=pad_bucket
+        )
+        prog = self._compiled(
+            vbn,
+            plan,
+            ("cat_enum", k, b_pad),
+            lambda: make_exact_enum_fn(plan, cpds, k),
+        )
+        outs = prog(self._params_tuple(vbn, plan), inputs)
+        self._last_fallback = False
+        return np.asarray(outs[0])[:b_tot], spans
 
     def _fallback_infer(self, vbn, query, **kwargs):
         self._last_fallback = True

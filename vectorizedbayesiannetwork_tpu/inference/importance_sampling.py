@@ -77,28 +77,30 @@ class ImportanceSampling(DynamicMaskMethod):
             weights = jax.nn.softmax(log_w, axis=1)
             ess = 1.0 / jnp.sum(weights**2, axis=1)
             # Padded rows carry no evidence -> uniform weights -> ESS == S,
-            # so they can never trigger the collapse branch.
-            collapse = jnp.any(ess < threshold)
-
-            def fallback(_):
-                col_ev = jnp.take(evm, jnp.asarray(node_of_col), axis=1) > 0
-                f_lw = jnp.where(
-                    col_ev, clamp_evidence(fixed_vals), fixed_vals
-                )
-                p2, lw2 = dynamic_sweep_trace(
-                    plan, cpds, params_tuple, k_lw, f_lw, evm, dom, s
-                )
-                return jax.nn.softmax(lw2, axis=1), p2
-
-            def keep(_):
-                return weights, packed
-
-            w_out, p_out = jax.lax.cond(collapse, fallback, keep, None)
+            # so they can never select the fallback sweep.
+            collapse_row = ess < threshold  # [B]
+            # Fused heterogeneous batches select the LW fallback PER ROW
+            # (jnp.where over two always-computed sweeps) rather than the
+            # static path's per-call lax.cond: with many unrelated queries
+            # in one dispatch some row nearly always collapses, so the
+            # branchless form costs the same in steady state, and a
+            # query's fallback decision never depends on its batchmates
+            # (strictly finer-grained than the reference's per-call
+            # fallback, importance_sampling.py:82-89).
+            col_ev = jnp.take(evm, jnp.asarray(node_of_col), axis=1) > 0
+            f_lw = jnp.where(col_ev, clamp_evidence(fixed_vals), fixed_vals)
+            p2, lw2 = dynamic_sweep_trace(
+                plan, cpds, params_tuple, k_lw, f_lw, evm, dom, s
+            )
+            w_out = jnp.where(
+                collapse_row[:, None], jax.nn.softmax(lw2, axis=1), weights
+            )
+            p_out = jnp.where(collapse_row[:, None, None], p2, packed)
             return (
                 w_out,
                 dynamic_target_values(plan, p_out, ti),
                 ess,
-                collapse,
+                jnp.any(collapse_row),
             )
 
         return fn
