@@ -93,9 +93,13 @@ class BenchmarkBundle:
         d = os.path.join(self.path, "networks")
         if not os.path.isdir(d):
             return []
-        return sorted(
-            os.path.splitext(f)[0] for f in os.listdir(d) if f.endswith(".bif")
-        )
+        names = []
+        for f in os.listdir(d):
+            if f.endswith(".bif"):
+                names.append(f[: -len(".bif")])
+            elif f.endswith(".gbn.json"):
+                names.append(f[: -len(".gbn.json")])
+        return sorted(names)
 
 
 def find_latest_bundle(root: str, mode: Optional[str] = None) -> Optional[str]:

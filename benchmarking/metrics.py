@@ -112,3 +112,37 @@ def robust_summary(values) -> Dict[str, float]:
         "std": float(np.std(finite)) if finite.size else float("nan"),
         "n": int(finite.size),
     }
+
+
+# -- Gaussian-posterior metrics (continuous benchmark classes) ---------------
+
+def gaussian_kl(m_p, s_p, m_q, s_q) -> float:
+    """KL(N(m_p, s_p) || N(m_q, s_q)), closed form."""
+    s_p = max(float(s_p), 1e-9)
+    s_q = max(float(s_q), 1e-9)
+    return float(
+        np.log(s_q / s_p)
+        + (s_p**2 + (float(m_p) - float(m_q)) ** 2) / (2.0 * s_q**2)
+        - 0.5
+    )
+
+
+def gaussian_w2(m_p, s_p, m_q, s_q) -> float:
+    """2-Wasserstein between Gaussians: sqrt(dm^2 + ds^2)."""
+    return float(
+        np.sqrt(
+            (float(m_p) - float(m_q)) ** 2 + (float(s_p) - float(s_q)) ** 2
+        )
+    )
+
+
+def gaussian_js(m_p, s_p, m_q, s_q, n_grid: int = 512) -> float:
+    """Normalized JS between Gaussians, numeric on a shared +-6 sigma grid."""
+    s_p = max(float(s_p), 1e-9)
+    s_q = max(float(s_q), 1e-9)
+    lo = min(m_p - 6 * s_p, m_q - 6 * s_q)
+    hi = max(m_p + 6 * s_p, m_q + 6 * s_q)
+    x = np.linspace(lo, hi, n_grid)
+    p = np.exp(-0.5 * ((x - m_p) / s_p) ** 2) / s_p
+    q = np.exp(-0.5 * ((x - m_q) / s_q) ** 2) / s_q
+    return js_divergence(p, q, normalized=True)

@@ -24,8 +24,12 @@ class ExactOracleModel(BaseBenchmarkModel):
     def __init__(self, domain: Dict, seed: int = 0, config: Optional[Dict] = None):
         super().__init__(domain, seed, config)
         self.bn: Optional[DiscreteBN] = None
+        self.gbn = None  # gaussian-class oracle (see _fit_gaussian)
 
     def fit(self, data: Dict[str, np.ndarray]) -> float:
+        if self.domain.get("class") == "gaussian":
+            return self._fit_gaussian(data)
+
         def run():
             nodes = self.domain["nodes"]
             bn = DiscreteBN(name=self.domain.get("name", "fit"))
@@ -55,6 +59,37 @@ class ExactOracleModel(BaseBenchmarkModel):
         _, ms = self._timed(run)
         return ms
 
+    def _fit_gaussian(self, data: Dict[str, np.ndarray]) -> float:
+        """OLS per node -> GaussianBN; queries answered in closed form
+        (the gaussian-class analogue of the MLE-CPT + VE oracle)."""
+        from ..gaussian_bn import GaussianBN
+
+        def run():
+            bn = GaussianBN(name=self.domain.get("name", "fit"))
+            for node, info in self.domain["nodes"].items():
+                bn.nodes.append(node)
+                parents = list(info["parents"])
+                bn.parents[node] = parents
+                y = np.asarray(data[node], np.float64).ravel()
+                if parents:
+                    X = np.column_stack(
+                        [np.asarray(data[p], np.float64).ravel() for p in parents]
+                    )
+                    A = np.column_stack([X, np.ones_like(y)])
+                    coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+                    resid = y - A @ coef
+                    bn.weights[node] = [float(w) for w in coef[:-1]]
+                    bn.bias[node] = float(coef[-1])
+                else:
+                    resid = y - y.mean()
+                    bn.weights[node] = []
+                    bn.bias[node] = float(y.mean())
+                bn.sigma[node] = float(max(resid.std(), 1e-6))
+            self.gbn = bn
+
+        _, ms = self._timed(run)
+        return ms
+
     def answer_cpd_query(self, query) -> Dict:
         def run():
             cpt = self.bn.cpts[query.node]
@@ -67,6 +102,24 @@ class ExactOracleModel(BaseBenchmarkModel):
         return {"ok": True, "probs": [float(p) for p in probs], "timing_ms": ms}
 
     def answer_inference_queries(self, queries: List) -> List[Dict]:
+        if getattr(self, "gbn", None) is not None:
+            out = []
+            for q in queries:
+                try:
+                    (mean, std), ms = self._timed(
+                        self.gbn.conditional,
+                        q.target,
+                        {k: float(v) for k, v in (q.evidence or {}).items()},
+                        {k: float(v) for k, v in (q.do or {}).items()},
+                    )
+                    out.append(
+                        {"ok": True, "mean": mean, "std": std, "timing_ms": ms}
+                    )
+                except Exception as exc:
+                    from ..errors import failure_record
+
+                    out.append(failure_record(exc, context={"timing_ms": None}))
+            return out
         out = []
         for q in queries:
             try:

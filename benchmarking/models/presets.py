@@ -97,6 +97,59 @@ _add(ModelBenchmarkConfig(
     inference=ComponentSpec.make("likelihood_weighting", n_samples=2048),
 ))
 
+# -- continuous (gaussian network class) presets -----------------------------
+_add(ModelBenchmarkConfig(
+    "vbn_lg_lw_dyn", "vbn_tpu",
+    cpd=ComponentSpec.make("linear_gaussian"),
+    inference=ComponentSpec.make(
+        "likelihood_weighting", n_samples=4096, dynamic_masks=True
+    ),
+))
+_add(ModelBenchmarkConfig(
+    "vbn_lg_is_dyn", "vbn_tpu",
+    cpd=ComponentSpec.make("linear_gaussian"),
+    inference=ComponentSpec.make(
+        "importance_sampling", n_samples=4096, dynamic_masks=True
+    ),
+))
+_add(ModelBenchmarkConfig(
+    "vbn_lg_exact", "vbn_tpu",
+    cpd=ComponentSpec.make("linear_gaussian"),
+    inference=ComponentSpec.make("gaussian_exact"),
+))
+_add(ModelBenchmarkConfig(
+    "vbn_gnn_lw_dyn", "vbn_tpu",
+    cpd=ComponentSpec.make(
+        "gaussian_nn",
+        fit={"epochs": 60, "batch_size": 512, "lr": 3e-3},
+    ),
+    inference=ComponentSpec.make(
+        "likelihood_weighting", n_samples=4096, dynamic_masks=True
+    ),
+))
+_add(ModelBenchmarkConfig(
+    "vbn_mdn_lw_dyn", "vbn_tpu",
+    cpd=ComponentSpec.make(
+        "mdn", n_components=5,
+        fit={"epochs": 60, "batch_size": 512, "lr": 3e-3},
+    ),
+    inference=ComponentSpec.make(
+        "likelihood_weighting", n_samples=4096, dynamic_masks=True
+    ),
+))
+_add(ModelBenchmarkConfig(
+    "vbn_kde_lw_dyn", "vbn_tpu",
+    cpd=ComponentSpec.make("kde", max_points=2048),
+    inference=ComponentSpec.make(
+        "likelihood_weighting", n_samples=2048, dynamic_masks=True
+    ),
+))
+_add(ModelBenchmarkConfig(
+    "ref_vbn_lg_lw", "reference_vbn",
+    cpd=ComponentSpec.make("linear_gaussian"),
+    inference=ComponentSpec.make("likelihood_weighting", n_samples=4096),
+))
+
 
 def resolve_model_spec(spec: str) -> ModelBenchmarkConfig:
     """'backend[:config_id]' -> config (parity: 04_run_benchmark.py:14-120)."""

@@ -47,15 +47,22 @@ class ReferenceVBNModel(BaseBenchmarkModel):
         g.add_nodes_from(self.domain["nodes"])
         g.add_edges_from([tuple(e) for e in self.domain["edges"]])
         self.vbn = self._VBN(g, seed=self.seed, device="cpu")
+        self._gaussian = self.domain.get("class") == "gaussian"
         nodes_cpds = {}
         for node, info in self.domain["nodes"].items():
-            conf = self._defaults.cpd("categorical_table")
-            conf["n_classes"] = int(info["n_classes"])
-            if info["parents"]:
-                conf["parent_n_classes"] = [
-                    int(self.domain["nodes"][p]["n_classes"])
-                    for p in info["parents"]
-                ]
+            if self._gaussian:
+                cpd_name = (self.config.get("cpd") or {}).get(
+                    "name", "linear_gaussian"
+                )
+                conf = self._defaults.cpd(cpd_name)
+            else:
+                conf = self._defaults.cpd("categorical_table")
+                conf["n_classes"] = int(info["n_classes"])
+                if info["parents"]:
+                    conf["parent_n_classes"] = [
+                        int(self.domain["nodes"][p]["n_classes"])
+                        for p in info["parents"]
+                    ]
             nodes_cpds[node] = conf
         self.vbn.set_learning_method("node_wise", nodes_cpds=nodes_cpds)
         df = pd.DataFrame({k: np.asarray(v).ravel() for k, v in data.items()})
@@ -98,6 +105,8 @@ class ReferenceVBNModel(BaseBenchmarkModel):
         q0 = queries[0]
         target = q0.target
         ev_keys = sorted(q0.evidence)
+        if getattr(self, "_gaussian", False):
+            return self._answer_continuous(queries, target, ev_keys)
         k = int(self.domain["nodes"][target]["n_classes"])
 
         def run():
@@ -131,6 +140,52 @@ class ReferenceVBNModel(BaseBenchmarkModel):
             per = ms / len(queries)
             return [
                 {"ok": True, "probs": [float(p) for p in pmf[i]], "timing_ms": per}
+                for i in range(len(queries))
+            ]
+        except Exception as exc:
+            from ..errors import failure_record
+
+            rec = failure_record(exc, context={"timing_ms": None})
+            return [dict(rec) for _ in queries]
+
+    def _answer_continuous(
+        self, queries: List, target: str, ev_keys: List[str]
+    ) -> List[Dict]:
+        """Weighted-particle (mean, std) through the reference API."""
+        import torch
+
+        def run():
+            evidence = {
+                key: torch.tensor(
+                    [[float(q.evidence[key])] for q in queries]
+                )
+                for key in ev_keys
+            }
+            pdf, samples = self.vbn.infer_posterior(
+                {"target": target, "evidence": evidence}
+            )
+            w = np.maximum(np.nan_to_num(np.asarray(pdf.detach())), 0.0)
+            x = np.asarray(samples.detach())[..., 0]
+            denom = w.sum(axis=1, keepdims=True)
+            w = np.where(
+                denom > 1e-12, w / np.maximum(denom, 1e-12), 1.0 / w.shape[1]
+            )
+            mean = (w * x).sum(axis=1)
+            var = (w * (x - mean[:, None]) ** 2).sum(axis=1)
+            return np.stack([mean, np.sqrt(np.maximum(var, 0.0))], axis=1)
+
+        try:
+            mom, ms = self._timed(run)
+            if mom.shape[0] == 1 and len(queries) > 1:
+                mom = np.repeat(mom, len(queries), axis=0)
+            per = ms / len(queries)
+            return [
+                {
+                    "ok": True,
+                    "mean": float(mom[i][0]),
+                    "std": float(mom[i][1]),
+                    "timing_ms": per,
+                }
                 for i in range(len(queries))
             ]
         except Exception as exc:

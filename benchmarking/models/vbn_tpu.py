@@ -22,6 +22,19 @@ from .base import BaseBenchmarkModel
 from .registry import register_model
 
 
+def _host_moments(pdf: np.ndarray, samples: np.ndarray) -> np.ndarray:
+    """Weighted particle (mean, std) rows — VBN._posterior_stats semantics."""
+    w = np.maximum(np.nan_to_num(pdf), 0.0)
+    denom = w.sum(axis=1, keepdims=True)
+    w = np.where(
+        denom > 1e-12, w / np.maximum(denom, 1e-12), 1.0 / w.shape[1]
+    )
+    x = samples[..., 0]
+    mean = (w * x).sum(axis=1)
+    var = (w * (x - mean[:, None]) ** 2).sum(axis=1)
+    return np.stack([mean, np.sqrt(np.maximum(var, 0.0))], axis=1)
+
+
 @register_model("vbn_tpu")
 class VBNTpuBenchmarkModel(BaseBenchmarkModel):
     def __init__(self, domain: Dict, seed: int = 0, config: Optional[Dict] = None):
@@ -43,18 +56,24 @@ class VBNTpuBenchmarkModel(BaseBenchmarkModel):
         for node, info in nodes.items():
             conf = defaults.cpd(cpd_name)
             conf.update(cpd_conf)
-            if "n_classes" in conf:
-                conf["n_classes"] = int(info["n_classes"])
-            parent_cards = [
-                int(nodes[p]["n_classes"]) for p in info["parents"]
-            ]
-            if parent_cards and cpd_name in (
-                "categorical_table",
-                "categorical_embedded_softmax",
-            ):
-                conf["parent_n_classes"] = parent_cards
+            if "n_classes" in info:  # discrete node
+                if "n_classes" in conf:
+                    conf["n_classes"] = int(info["n_classes"])
+                parent_cards = [
+                    int(nodes[p]["n_classes"])
+                    for p in info["parents"]
+                    if "n_classes" in nodes[p]
+                ]
+                if parent_cards and cpd_name in (
+                    "categorical_table",
+                    "categorical_embedded_softmax",
+                ):
+                    conf["parent_n_classes"] = parent_cards
             out[node] = conf
         return out
+
+    def _continuous_target(self, node: str) -> bool:
+        return "n_classes" not in self.domain["nodes"][node]
 
     def fit(self, data: Dict[str, np.ndarray]) -> float:
         import networkx as nx
@@ -86,11 +105,16 @@ class VBNTpuBenchmarkModel(BaseBenchmarkModel):
             }
 
             def warm():
-                fused = self.vbn.infer_posterior_pmf(
-                    [dummy],
-                    n_classes=self._k_max(),
-                    pad_bucket=self.fused_bucket,
-                )
+                if self._continuous_target(dummy["target"]):
+                    fused = self.vbn.infer_posterior_moments(
+                        [dummy], pad_bucket=self.fused_bucket
+                    )
+                else:
+                    fused = self.vbn.infer_posterior_pmf(
+                        [dummy],
+                        n_classes=self._k_max(),
+                        pad_bucket=self.fused_bucket,
+                    )
                 if fused is None:
                     np.asarray(
                         self.vbn.infer_posterior_many(
@@ -103,7 +127,13 @@ class VBNTpuBenchmarkModel(BaseBenchmarkModel):
 
     def _dynamic_fusable(self) -> bool:
         inf = getattr(self.vbn, "_inference", None)
-        return bool(inf is not None and getattr(inf, "fused_pmf_capable", False))
+        return bool(
+            inf is not None
+            and (
+                getattr(inf, "fused_pmf_capable", False)
+                or getattr(inf, "fused_moments_capable", False)
+            )
+        )
 
     # -- cpd queries ---------------------------------------------------------
     def answer_cpd_query(self, query) -> Dict:
@@ -144,9 +174,12 @@ class VBNTpuBenchmarkModel(BaseBenchmarkModel):
     def _k_max(self) -> int:
         """Class-count ceiling shared by every fused pmf dispatch (one
         compiled program per problem; per-target support sliced host-side)."""
-        return max(
-            int(info["n_classes"]) for info in self.domain["nodes"].values()
-        )
+        cards = [
+            int(info["n_classes"])
+            for info in self.domain["nodes"].values()
+            if "n_classes" in info
+        ]
+        return max(cards) if cards else 2
 
     def _normalize_pmf(
         self, node: str, rows: np.ndarray, n_chunk: int
@@ -191,6 +224,19 @@ class VBNTpuBenchmarkModel(BaseBenchmarkModel):
         """
         if not queries or not self._dynamic_fusable():
             return super().answer_all_inference_queries(queries, max_batch)
+        by_id = {id(q): i for i, q in enumerate(queries)}
+        out: List[Optional[Dict]] = [None] * len(queries)
+        # Discrete targets reduce to pmfs, continuous ones to (mean, std);
+        # each stream runs its own bucketed fused flushes.
+        disc = [q for q in queries if not self._continuous_target(q.target)]
+        cont = [q for q in queries if self._continuous_target(q.target)]
+        if disc:
+            self._fused_stream(disc, "pmf", by_id, out)
+        if cont:
+            self._fused_stream(cont, "moments", by_id, out)
+        return [r if r is not None else {"ok": False} for r in out]
+
+    def _fused_stream(self, queries, kind: str, by_id, out) -> None:
         bucket = self.fused_bucket
         # skeleton groups -> (query_dict, member queries) jobs of <= bucket rows
         groups: "OrderedDict[str, List]" = OrderedDict()
@@ -215,34 +261,57 @@ class VBNTpuBenchmarkModel(BaseBenchmarkModel):
                         rows,
                     )
                 )
-        by_id = {id(q): i for i, q in enumerate(queries)}
-        out: List[Optional[Dict]] = [None] * len(queries)
-
         k_max = self._k_max()
+
+        def record_pmf(qd, chunk, pmf):
+            return [
+                {"ok": True, "probs": [float(p) for p in pmf[i]]}
+                for i in range(len(chunk))
+            ]
+
+        def record_moments(qd, chunk, mom):
+            return [
+                {
+                    "ok": True,
+                    "mean": float(mom[i][0]),
+                    "std": float(mom[i][1]),
+                }
+                for i in range(len(chunk))
+            ]
 
         def flush(batch_jobs) -> None:
             qdicts = [j[0] for j in batch_jobs]
             n_queries = sum(len(j[1]) for j in batch_jobs)
             try:
                 t0 = time.perf_counter()
-                # Posterior pmfs reduce ON DEVICE: one dispatch + one
-                # [rows, k_max] fetch serves every query in the flush. The
-                # particle cloud ([rows, S] weights + samples) never
-                # crosses the (high-latency) host link.
-                fused = self.vbn.infer_posterior_pmf(
-                    qdicts, n_classes=k_max, pad_bucket=bucket
-                )
-                pmfs = []
+                # Posterior summaries reduce ON DEVICE: one dispatch + one
+                # [rows, k] (or [rows, 2]) fetch serves every query in the
+                # flush. The particle cloud ([rows, S] weights + samples)
+                # never crosses the (high-latency) host link.
+                if kind == "pmf":
+                    fused = self.vbn.infer_posterior_pmf(
+                        qdicts, n_classes=k_max, pad_bucket=bucket
+                    )
+                else:
+                    fused = self.vbn.infer_posterior_moments(
+                        qdicts, pad_bucket=bucket
+                    )
+                per_job = []
                 if fused is not None:
-                    pmf_rows, spans = fused
+                    rows_arr, spans = fused
                     for (qd, chunk, _), (lo, hi, _t) in zip(
                         batch_jobs, spans
                     ):
-                        pmfs.append(
-                            self._normalize_pmf(
-                                qd["target"], pmf_rows[lo:hi], len(chunk)
+                        block = rows_arr[lo:hi]
+                        if kind == "pmf":
+                            pmf = self._normalize_pmf(
+                                qd["target"], block, len(chunk)
                             )
-                        )
+                            per_job.append(record_pmf(qd, chunk, pmf))
+                        else:
+                            if block.shape[0] == 1 and len(chunk) > 1:
+                                block = np.repeat(block, len(chunk), axis=0)
+                            per_job.append(record_moments(qd, chunk, block))
                 else:
                     results = self.vbn.infer_posterior_many(
                         qdicts, pad_bucket=bucket
@@ -250,23 +319,29 @@ class VBNTpuBenchmarkModel(BaseBenchmarkModel):
                     for (qd, chunk, _), (pdf, samples) in zip(
                         batch_jobs, results
                     ):
-                        pmf = self._posterior_pmf(
-                            qd["target"], np.asarray(pdf), np.asarray(samples)
-                        )
-                        if pmf.shape[0] == 1 and len(chunk) > 1:
-                            pmf = np.repeat(pmf, len(chunk), axis=0)
-                        pmfs.append(pmf)
+                        pdf, samples = np.asarray(pdf), np.asarray(samples)
+                        if kind == "pmf":
+                            pmf = self._posterior_pmf(
+                                qd["target"], pdf, samples
+                            )
+                            if pmf.shape[0] == 1 and len(chunk) > 1:
+                                pmf = np.repeat(pmf, len(chunk), axis=0)
+                            per_job.append(record_pmf(qd, chunk, pmf))
+                        else:
+                            mom = _host_moments(pdf, samples)
+                            if mom.shape[0] == 1 and len(chunk) > 1:
+                                mom = np.repeat(mom, len(chunk), axis=0)
+                            per_job.append(record_moments(qd, chunk, mom))
                 ms = (time.perf_counter() - t0) * 1000.0
                 per_query = ms / max(1, n_queries)
-                for (qd, chunk, _), pmf in zip(batch_jobs, pmfs):
-                    for i, q in enumerate(chunk):
-                        out[by_id[id(q)]] = {
-                            "ok": True,
-                            "probs": [float(p) for p in pmf[i]],
-                            "timing_ms": per_query,
-                            "batched": n_queries,
-                            "fused": len(batch_jobs),
-                        }
+                for (qd, chunk, _), recs in zip(batch_jobs, per_job):
+                    for q, rec in zip(chunk, recs):
+                        rec.update(
+                            timing_ms=per_query,
+                            batched=n_queries,
+                            fused=len(batch_jobs),
+                        )
+                        out[by_id[id(q)]] = rec
             except Exception as exc:
                 from ..errors import failure_record
 
@@ -284,7 +359,6 @@ class VBNTpuBenchmarkModel(BaseBenchmarkModel):
             pending_rows += job[2]
         if pending:
             flush(pending)
-        return [r if r is not None else {"ok": False} for r in out]
 
     def answer_inference_queries(self, queries: List) -> List[Dict]:
         if not queries:
@@ -292,6 +366,8 @@ class VBNTpuBenchmarkModel(BaseBenchmarkModel):
         q0 = queries[0]
         target = q0.target
         ev_keys = sorted(q0.evidence)
+        if self._continuous_target(target):
+            return self._answer_continuous_batch(queries, target, ev_keys)
         k = int(self.domain["nodes"][target]["n_classes"])
 
         def run():
@@ -327,6 +403,44 @@ class VBNTpuBenchmarkModel(BaseBenchmarkModel):
                 {
                     "ok": True,
                     "probs": [float(p) for p in pmf[i]],
+                    "timing_ms": per_query,
+                    "batched": len(queries),
+                }
+                for i in range(len(queries))
+            ]
+        except Exception as exc:
+            from ..errors import failure_record
+
+            rec = failure_record(exc, context={"timing_ms": None})
+            return [dict(rec) for _ in queries]
+
+    def _answer_continuous_batch(
+        self, queries: List, target: str, ev_keys: List[str]
+    ) -> List[Dict]:
+        """Same-skeleton continuous-target batch -> (mean, std) records."""
+
+        def run():
+            evidence = {
+                key: np.array(
+                    [[float(q.evidence[key])] for q in queries], np.float32
+                )
+                for key in ev_keys
+            }
+            pdf, samples = self.vbn.infer_posterior(
+                {"target": target, "evidence": evidence}
+            )
+            return _host_moments(np.asarray(pdf), np.asarray(samples))
+
+        try:
+            mom, ms = self._timed(run)
+            if mom.shape[0] == 1 and len(queries) > 1:
+                mom = np.repeat(mom, len(queries), axis=0)
+            per_query = ms / len(queries)
+            return [
+                {
+                    "ok": True,
+                    "mean": float(mom[i][0]),
+                    "std": float(mom[i][1]),
                     "timing_ms": per_query,
                     "batched": len(queries),
                 }

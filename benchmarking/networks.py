@@ -281,6 +281,18 @@ def acquire_random(
     ]
 
 
+@register_source("random_gaussian")
+def acquire_random_gaussian(
+    sizes: Optional[List[int]] = None, seed: int = 0, **_kw
+):
+    """Seeded random linear-Gaussian nets (the reference suite's *gaussian*
+    class, ``metadata/bnlearn.json``; see ``gaussian_bn.py``)."""
+    from .gaussian_bn import random_gaussian
+
+    sizes = sizes or [8, 16, 32]
+    return [random_gaussian(n, seed=seed + i) for i, n in enumerate(sizes)]
+
+
 @register_source("bif_dir")
 def acquire_bif_dir(path: str = ".", **_kw) -> List[DiscreteBN]:
     """Load all .bif/.bif.gz files from a local directory (e.g. a manually

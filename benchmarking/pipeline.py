@@ -23,14 +23,23 @@ from .query_gen import (
 
 
 def stage_networks(bundle: BenchmarkBundle) -> List[str]:
-    """Stage I: acquire networks, write .bif files."""
+    """Stage I: acquire networks; discrete ones persist as .bif, gaussian
+    ones as .gbn.json (the reference's gaussian class ships as R bn.fit
+    RDS files, which have no open text format — JSON stands in)."""
+    from .gaussian_bn import GaussianBN
+
     nets = acquire(bundle.spec.source, **bundle.spec.source_kwargs)
     ndir = bundle.dir("networks")
     for bn in nets:
-        with open(
-            os.path.join(ndir, f"{bn.name}.bif"), "w", encoding="utf-8"
-        ) as f:
-            f.write(to_bif(bn))
+        if isinstance(bn, GaussianBN):
+            path = os.path.join(ndir, f"{bn.name}.gbn.json")
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(bn.to_json())
+        else:
+            with open(
+                os.path.join(ndir, f"{bn.name}.bif"), "w", encoding="utf-8"
+            ) as f:
+                f.write(to_bif(bn))
     bundle.save_metadata({"networks": [bn.name for bn in nets]})
     return [bn.name for bn in nets]
 
@@ -38,11 +47,23 @@ def stage_networks(bundle: BenchmarkBundle) -> List[str]:
 def _load_network(bundle: BenchmarkBundle, problem: str):
     from .bif import load_bif
 
+    gpath = os.path.join(bundle.dir("networks"), f"{problem}.gbn.json")
+    if os.path.exists(gpath):
+        from .gaussian_bn import GaussianBN
+
+        with open(gpath, encoding="utf-8") as f:
+            return GaussianBN.from_json(f.read())
     return load_bif(os.path.join(bundle.dir("networks"), f"{problem}.bif"))
 
 
 def stage_queries(bundle: BenchmarkBundle) -> None:
     """Stage II: generate queries + exact ground truth per problem."""
+    from .gaussian_bn import (
+        GaussianBN,
+        gaussian_ground_truth,
+        generate_gaussian_inference_queries,
+    )
+
     spec = bundle.spec
     for problem in bundle.problems():
         bn = _load_network(bundle, problem)
@@ -50,18 +71,28 @@ def stage_queries(bundle: BenchmarkBundle) -> None:
         gdir = bundle.dir("ground_truth", problem)
         gt_records: List[Dict] = []
         if spec.mode in ("inference", "both"):
-            queries = generate_inference_queries(
-                bn,
-                n_queries=spec.n_queries,
-                seed=spec.seed,
-                evidence_modes=tuple(spec.evidence_modes),
-            )
+            if isinstance(bn, GaussianBN):
+                queries = generate_gaussian_inference_queries(
+                    bn,
+                    n_queries=spec.n_queries,
+                    seed=spec.seed,
+                    evidence_modes=tuple(spec.evidence_modes),
+                )
+                gt = gaussian_ground_truth(bn, queries)
+            else:
+                queries = generate_inference_queries(
+                    bn,
+                    n_queries=spec.n_queries,
+                    seed=spec.seed,
+                    evidence_modes=tuple(spec.evidence_modes),
+                )
+                gt = compute_ground_truth(bn, queries)
             write_jsonl(
                 os.path.join(qdir, "inference_queries.jsonl"),
                 [q.to_dict() for q in queries],
             )
-            gt_records += compute_ground_truth(bn, queries)
-        if spec.mode in ("cpds", "both"):
+            gt_records += gt
+        if spec.mode in ("cpds", "both") and not isinstance(bn, GaussianBN):
             cqueries = generate_cpd_queries(
                 bn, n_queries=spec.n_queries, seed=spec.seed
             )
@@ -75,9 +106,17 @@ def stage_queries(bundle: BenchmarkBundle) -> None:
 
 def stage_data(bundle: BenchmarkBundle, n_datasets: int = 1) -> None:
     """Stage III: exact ancestral training data + domain schema."""
+    from .data_gen import write_gaussian_problem_assets
+    from .gaussian_bn import GaussianBN
+
     for problem in bundle.problems():
         bn = _load_network(bundle, problem)
-        write_problem_assets(
+        writer = (
+            write_gaussian_problem_assets
+            if isinstance(bn, GaussianBN)
+            else write_problem_assets
+        )
+        writer(
             bn,
             bundle.dir("datasets", problem),
             n_rows=bundle.spec.n_rows,

@@ -34,6 +34,27 @@ METRIC_FNS = {
 }
 
 
+def _row_metrics(row: Dict) -> Optional[Dict[str, float]]:
+    """kl/js/ws for one joined row; pmf and Gaussian-moment records share
+    the same metric names so every downstream table works unchanged."""
+    if row.get("gt_probs") is not None and row.get("probs") is not None:
+        p = np.asarray(row["gt_probs"])
+        q = np.asarray(row["probs"])
+        if p.shape != q.shape:
+            return None
+        return {name: fn(p, q) for name, fn in METRIC_FNS.items()}
+    if row.get("gt_mean") is not None and row.get("mean") is not None:
+        from .metrics import gaussian_js, gaussian_kl, gaussian_w2
+
+        args = (row["gt_mean"], row["gt_std"], row["mean"], row["std"])
+        return {
+            "kl": gaussian_kl(*args),
+            "js": gaussian_js(*args),
+            "ws": gaussian_w2(*args),
+        }
+    return None
+
+
 def join_results(
     bundle: BenchmarkBundle, problem: str
 ) -> Dict[str, Dict[str, Dict]]:
@@ -54,12 +75,17 @@ def join_results(
         for rec in read_jsonl(os.path.join(rdir, fname)):
             qid = rec["query"]["query_id"]
             g = gt.get(qid)
+            g_ok = g if g and g.get("ok") else {}
             joined[qid] = {
                 "kind": rec.get("kind"),
                 "ok": bool(rec["result"].get("ok")),
                 "probs": rec["result"].get("probs"),
+                "mean": rec["result"].get("mean"),
+                "std": rec["result"].get("std"),
                 "timing_ms": rec["result"].get("timing_ms"),
-                "gt_probs": g.get("probs") if g and g.get("ok") else None,
+                "gt_probs": g_ok.get("probs"),
+                "gt_mean": g_ok.get("mean"),
+                "gt_std": g_ok.get("std"),
             }
         out[model] = joined
     return out
@@ -73,19 +99,17 @@ def compute_metrics(joined: Dict[str, Dict[str, Dict]]) -> Dict[str, Dict]:
         solved: Set[str] = set()
         timings = []
         for qid, row in queries.items():
-            if not row["ok"] or row["probs"] is None:
+            if not row["ok"] or (
+                row["probs"] is None and row["mean"] is None
+            ):
                 continue
             solved.add(qid)
             if row["timing_ms"] is not None:
                 timings.append(row["timing_ms"])
-            if row["gt_probs"] is None:
-                continue
-            p = np.asarray(row["gt_probs"])
-            q = np.asarray(row["probs"])
-            if p.shape != q.shape:
-                continue
-            for name, fn in METRIC_FNS.items():
-                metric_vals[name].append(fn(p, q))
+            vals = _row_metrics(row)
+            if vals:
+                for name, v in vals.items():
+                    metric_vals[name].append(v)
         per_model[model] = {
             "solved": solved,
             "n_total": len(queries),
@@ -131,15 +155,15 @@ def aggregate_problem(
             row[name] = robust_summary(vals)
         # metric restricted to the common solved subset
         joined_m = joined[model]
-        for name, fn in METRIC_FNS.items():
-            vals = []
-            for qid in common:
-                r = joined_m.get(qid)
-                if r and r["gt_probs"] is not None and r["probs"] is not None:
-                    p, q = np.asarray(r["gt_probs"]), np.asarray(r["probs"])
-                    if p.shape == q.shape:
-                        vals.append(fn(p, q))
-            row[f"{name}_common"] = robust_summary(vals)
+        common_vals = defaultdict(list)
+        for qid in common:
+            r = joined_m.get(qid)
+            vals = _row_metrics(r) if r else None
+            if vals:
+                for name, v in vals.items():
+                    common_vals[name].append(v)
+        for name in METRIC_FNS:
+            row[f"{name}_common"] = robust_summary(common_vals[name])
         table[model] = row
     return table
 
@@ -255,13 +279,12 @@ def render_plots(bundle: BenchmarkBundle) -> Optional[str]:
     plt = get_pyplot()
     if plt is None:
         return None
-    from .bif import load_bif
+    from .pipeline import _load_network
 
     problems = bundle.problems()
     sizes = {}
     for p in problems:
-        bn = load_bif(os.path.join(bundle.dir("networks"), f"{p}.bif"))
-        sizes[p] = len(bn.nodes)
+        sizes[p] = len(_load_network(bundle, p).nodes)
     metrics = ["kl", "js", "ws"]
     series: Dict[str, Dict[str, List]] = defaultdict(
         lambda: {"x": [], **{m: [] for m in metrics}}

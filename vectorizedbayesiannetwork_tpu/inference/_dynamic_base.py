@@ -90,6 +90,11 @@ class DynamicMaskMethod(CompiledMethod):
         """Whether ``infer_posterior_pmf`` will serve (vs return None)."""
         return bool(getattr(self, "dynamic_masks", False))
 
+    @property
+    def fused_moments_capable(self) -> bool:
+        """Whether ``infer_posterior_moments`` will serve (vs return None)."""
+        return bool(getattr(self, "dynamic_masks", False))
+
     def _dynamic_enabled(self, kwargs) -> bool:
         return bool(
             kwargs.get("dynamic_masks", getattr(self, "dynamic_masks", False))
@@ -232,3 +237,62 @@ class DynamicMaskMethod(CompiledMethod):
         pmf, *aux = outs
         self._note_dynamic_aux(aux, slice(0, b_tot))
         return np.asarray(pmf)[:b_tot], spans
+
+    def infer_posterior_moments(
+        self, vbn, queries, *, pad_bucket: int = 1, **kwargs
+    ) -> Optional[Tuple[np.ndarray, List[Tuple[int, int, int]]]]:
+        """Fused dispatch whose OUTPUT is per-query posterior (mean, std).
+
+        The continuous-target counterpart of ``infer_posterior_pmf``: the
+        weighted first/second moments of a scalar target reduce in-graph
+        (normalized weights with in-graph uniform fallback, exactly the
+        ``VBN._posterior_stats`` semantics), so a serving batch fetches a
+        ``[B, 2]`` array instead of the particle cloud. Returns
+        ``(moments [b_tot, 2], spans)`` or None outside dynamic-mask mode.
+        """
+        if not self._dynamic_enabled(kwargs):
+            return None
+        s = int(kwargs.get("n_samples", self.n_samples))
+        opts = self._dynamic_opts(kwargs)
+        plan = self._canonical_plan(vbn)
+        cpds = self._cpds(vbn, plan)
+        inputs, spans, b_tot, b_pad = pack_dynamic_inputs(
+            plan, queries, clamp_obs=self.pack_clamp_obs, pad_to=pad_bucket
+        )
+
+        def build():
+            inner = self._dynamic_fn(plan, cpds, s, opts)
+
+            def fn(params_tuple, key, packed_in):
+                pdf, samples, *aux = inner(params_tuple, key, packed_in)
+                w = jnp.maximum(
+                    jnp.nan_to_num(pdf, nan=0.0, posinf=0.0, neginf=0.0), 0.0
+                )
+                denom = jnp.sum(w, axis=1, keepdims=True)
+                wn = jnp.where(
+                    denom > 1e-12,
+                    w / jnp.maximum(denom, 1e-12),
+                    jnp.full_like(w, 1.0 / w.shape[1]),
+                )
+                x = samples[..., 0]
+                mean = jnp.sum(wn * x, axis=1)
+                var = jnp.sum(wn * (x - mean[:, None]) ** 2, axis=1)
+                mom = jnp.stack(
+                    [mean, jnp.sqrt(jnp.maximum(var, 0.0))], axis=1
+                )
+                return (mom,) + tuple(aux)
+
+            return fn
+
+        prog_fn = self._compiled(
+            vbn,
+            plan,
+            (self.dynamic_tag, "moments", s) + opts + (b_pad,),
+            build,
+        )
+        outs = prog_fn(
+            self._params_tuple(vbn, plan), vbn.next_key_spec(), inputs
+        )
+        mom, *aux = outs
+        self._note_dynamic_aux(aux, slice(0, b_tot))
+        return np.asarray(mom)[:b_tot], spans

@@ -10,10 +10,13 @@ and neither a mixture nor a categorical head.
 
 from __future__ import annotations
 
+from typing import List, Optional, Tuple
+
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.base import Query
-from ..core.plan import pack_fixed_values
+from ..core.plan import get_plan, pack_fixed_values
 from ..core.registry import INFERENCE_REGISTRY, register_inference
 from ..ops.gauss import LOG_2PI
 from ._base import CompiledMethod
@@ -67,6 +70,42 @@ class GaussianExact(CompiledMethod):
                 "gaussian_exact cannot handle this query and has no fallback"
             )
         return self._fallback.infer_posterior(vbn, query, **kwargs)
+
+    # Fused moments serving rides the closed-form joint-conditioning
+    # program (_lg_exact.py) when the whole network is linear-Gaussian.
+    fused_moments_capable = True
+
+    def infer_posterior_moments(
+        self, vbn, queries, *, pad_bucket: int = 1, **kwargs
+    ) -> Optional[Tuple[np.ndarray, List[Tuple[int, int, int]]]]:
+        """Fused EXACT (mean, std) for heterogeneous Gaussian queries.
+
+        One closed-form conditioning program per all-linear-Gaussian
+        network (``_lg_exact.py``) answers every evidence/do/target
+        skeleton in one dispatch — exactly, with latent parents
+        marginalized analytically, a superset of the per-query grid
+        path. Returns None when any CPD is not linear-Gaussian.
+        """
+        from ._dynamic_base import pack_dynamic_inputs
+        from ._lg_exact import lg_exact_supported, make_lg_exact_fn
+
+        topo = tuple(vbn.dag.topological_order())
+        plan = get_plan(vbn, Query(target=topo[0], evidence={}, do={}))
+        cpds = self._cpds(vbn, plan)
+        if not lg_exact_supported(plan, cpds):
+            return None
+        inputs, spans, b_tot, b_pad = pack_dynamic_inputs(
+            plan, queries, clamp_obs=True, pad_to=pad_bucket
+        )
+        prog = self._compiled(
+            vbn,
+            plan,
+            ("lg_exact", b_pad),
+            lambda: make_lg_exact_fn(plan, cpds),
+        )
+        outs = prog(self._params_tuple(vbn, plan), inputs)
+        self._last_fallback = False
+        return np.asarray(outs[0])[:b_tot], spans
 
     def infer_posterior(self, vbn, query: Query, **kwargs):
         self._last_fallback = False

@@ -413,6 +413,25 @@ class VBN:
         qs = [self._normalize_query(q) for q in queries]
         return fused(self, qs, n_classes=n_classes, **kwargs)
 
+    def infer_posterior_moments(self, queries, **kwargs):
+        """Fused multi-query dispatch returning posterior (mean, std) rows.
+
+        Continuous-target counterpart of ``infer_posterior_pmf``: moments
+        reduce on device, only ``[B, 2]`` crosses to host. Returns
+        ``(moments, spans)`` or None when the active method has no fused
+        moments path.
+        """
+        if self._inference is None:
+            raise RuntimeError(
+                "Call set_inference_method(...) before "
+                "infer_posterior_moments()."
+            )
+        fused = getattr(self._inference, "infer_posterior_moments", None)
+        if fused is None:
+            return None
+        qs = [self._normalize_query(q) for q in queries]
+        return fused(self, qs, **kwargs)
+
     def _posterior_stats(
         self, pdf: jax.Array, samples: jax.Array, *, eps: float = 1e-12
     ) -> Dict[str, jax.Array]:
