@@ -99,6 +99,8 @@ class BenchmarkBundle:
                 names.append(f[: -len(".bif")])
             elif f.endswith(".gbn.json"):
                 names.append(f[: -len(".gbn.json")])
+            elif f.endswith(".clg.json"):
+                names.append(f[: -len(".clg.json")])
         return sorted(names)
 
 

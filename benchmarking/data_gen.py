@@ -94,6 +94,32 @@ def write_gaussian_problem_assets(
                 writer.writerow([f"{v:.6g}" for v in row])
 
 
+def write_clg_problem_assets(
+    bn, out_dir: str, n_rows: int, base_seed: int, n_datasets: int = 1
+) -> None:
+    """CLG-class datasets + mixed-type domain schema (clg_bn.py nets)."""
+    import csv
+
+    from .clg_bn import clg_domain_schema
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "domain.json"), "w", encoding="utf-8") as f:
+        json.dump(clg_domain_schema(bn), f, indent=2)
+    for k in range(n_datasets):
+        seed = stable_seed(bn.name, base_seed, k)
+        data = bn.sample(n_rows, seed=seed)
+        with open(
+            os.path.join(out_dir, f"data_seed{k}.csv"),
+            "w",
+            newline="",
+            encoding="utf-8",
+        ) as f:
+            writer = csv.writer(f)
+            writer.writerow(bn.nodes)
+            for row in zip(*[data[n] for n in bn.nodes]):
+                writer.writerow([f"{v:.6g}" for v in row])
+
+
 def load_dataset(path: str) -> Dict[str, np.ndarray]:
     import csv
 

@@ -37,7 +37,7 @@ class ModelBenchmarkConfig:
     extra: tuple = ()
 
     def to_dict(self) -> Dict:
-        return {
+        out = {
             "config_id": self.config_id,
             "backend": self.backend,
             "learning": self.learning.as_dict(),
@@ -46,6 +46,11 @@ class ModelBenchmarkConfig:
             "extra": dict(self.extra),
             "config_hash": self.config_hash(),
         }
+        # extras also splat to top level so backends can read ad-hoc keys
+        # (e.g. cpd_discrete for mixed clgaussian domains)
+        for k, v in self.extra:
+            out.setdefault(k, v)
+        return out
 
     def config_hash(self) -> str:
         payload = json.dumps(

@@ -25,10 +25,13 @@ class ExactOracleModel(BaseBenchmarkModel):
         super().__init__(domain, seed, config)
         self.bn: Optional[DiscreteBN] = None
         self.gbn = None  # gaussian-class oracle (see _fit_gaussian)
+        self.clg = None  # clgaussian-class oracle (see _fit_clg)
 
     def fit(self, data: Dict[str, np.ndarray]) -> float:
         if self.domain.get("class") == "gaussian":
             return self._fit_gaussian(data)
+        if self.domain.get("class") == "clgaussian":
+            return self._fit_clg(data)
 
         def run():
             nodes = self.domain["nodes"]
@@ -90,6 +93,88 @@ class ExactOracleModel(BaseBenchmarkModel):
         _, ms = self._timed(run)
         return ms
 
+    def _fit_clg(self, data: Dict[str, np.ndarray]) -> float:
+        """MLE CLG fit: Laplace-smoothed CPTs for discrete nodes, per-regime
+        OLS for continuous ones; queries answered by exact mixture
+        enumeration (clg_bn.py)."""
+        from ..clg_bn import CLGaussianBN
+
+        def run():
+            info = self.domain["nodes"]
+            bn = CLGaussianBN(name=self.domain.get("name", "fit"))
+            for node, meta in info.items():
+                bn.nodes.append(node)
+                bn.parents[node] = list(meta["parents"])
+                bn.types[node] = (
+                    "discrete" if "n_classes" in meta else "continuous"
+                )
+                if "n_classes" in meta:
+                    bn.cards[node] = int(meta["n_classes"])
+            for node in bn.nodes:
+                if bn.types[node] == "discrete":
+                    card = bn.cards[node]
+                    p_cards = tuple(bn.cards[p] for p in bn.parents[node])
+                    counts = np.ones(p_cards + (card,), np.float64)
+                    x = np.rint(np.asarray(data[node]).ravel()).astype(int)
+                    if bn.parents[node]:
+                        pidx = tuple(
+                            np.rint(np.asarray(data[p]).ravel()).astype(int)
+                            for p in bn.parents[node]
+                        )
+                        np.add.at(counts, pidx + (x,), 1.0)
+                    else:
+                        np.add.at(counts, (x,), 1.0)
+                    bn.cpts[node] = (
+                        counts / counts.sum(axis=-1, keepdims=True)
+                    ).tolist()
+                else:
+                    dps = bn.disc_parents(node)
+                    cps = bn.cont_parents(node)
+                    r_tot = int(
+                        np.prod([bn.cards[p] for p in dps], dtype=int)
+                    )
+                    reg = np.zeros(
+                        np.asarray(data[node]).ravel().shape[0], dtype=int
+                    )
+                    for p in dps:
+                        reg = reg * bn.cards[p] + np.rint(
+                            np.asarray(data[p]).ravel()
+                        ).astype(int)
+                    y_all = np.asarray(data[node], np.float64).ravel()
+                    bias, weights, sigma = [], [], []
+                    for r in range(r_tot):
+                        sel = reg == r
+                        y = y_all[sel]
+                        if y.size < max(3, len(cps) + 2):
+                            bias.append(float(y_all.mean()))
+                            weights.append([0.0] * len(cps))
+                            sigma.append(float(max(y_all.std(), 1e-6)))
+                            continue
+                        if cps:
+                            X = np.column_stack(
+                                [
+                                    np.asarray(data[p], np.float64).ravel()[sel]
+                                    for p in cps
+                                ]
+                            )
+                            A = np.column_stack([X, np.ones_like(y)])
+                            coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+                            resid = y - A @ coef
+                            weights.append([float(w) for w in coef[:-1]])
+                            bias.append(float(coef[-1]))
+                        else:
+                            resid = y - y.mean()
+                            weights.append([])
+                            bias.append(float(y.mean()))
+                        sigma.append(float(max(resid.std(), 1e-6)))
+                    bn.bias[node] = bias
+                    bn.weights[node] = weights
+                    bn.sigma[node] = sigma
+            self.clg = bn
+
+        _, ms = self._timed(run)
+        return ms
+
     def answer_cpd_query(self, query) -> Dict:
         def run():
             cpt = self.bn.cpts[query.node]
@@ -102,6 +187,24 @@ class ExactOracleModel(BaseBenchmarkModel):
         return {"ok": True, "probs": [float(p) for p in probs], "timing_ms": ms}
 
     def answer_inference_queries(self, queries: List) -> List[Dict]:
+        if getattr(self, "clg", None) is not None:
+            out = []
+            for q in queries:
+                try:
+                    rec, ms = self._timed(
+                        self.clg.posterior,
+                        q.target,
+                        {k: float(v) for k, v in (q.evidence or {}).items()},
+                        {k: float(v) for k, v in (q.do or {}).items()},
+                    )
+                    rec = dict(rec)
+                    rec.update({"ok": True, "timing_ms": ms})
+                    out.append(rec)
+                except Exception as exc:
+                    from ..errors import failure_record
+
+                    out.append(failure_record(exc, context={"timing_ms": None}))
+            return out
         if getattr(self, "gbn", None) is not None:
             out = []
             for q in queries:

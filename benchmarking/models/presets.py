@@ -150,6 +150,28 @@ _add(ModelBenchmarkConfig(
     inference=ComponentSpec.make("likelihood_weighting", n_samples=4096),
 ))
 
+# -- clgaussian (mixed discrete/continuous) presets --------------------------
+_NN_FIT = {"epochs": 60, "batch_size": 512, "lr": 3e-3}
+_add(ModelBenchmarkConfig(
+    "vbn_clg_mdn_lw_dyn", "vbn_tpu",
+    cpd=ComponentSpec.make("mdn", n_components=5, fit=_NN_FIT),
+    inference=ComponentSpec.make(
+        "likelihood_weighting", n_samples=4096, dynamic_masks=True
+    ),
+))
+_add(ModelBenchmarkConfig(
+    "vbn_clg_gnn_lw_dyn", "vbn_tpu",
+    cpd=ComponentSpec.make("gaussian_nn", fit=_NN_FIT),
+    inference=ComponentSpec.make(
+        "likelihood_weighting", n_samples=4096, dynamic_masks=True
+    ),
+))
+_add(ModelBenchmarkConfig(
+    "ref_vbn_clg_gnn_lw", "reference_vbn",
+    cpd=ComponentSpec.make("gaussian_nn"),
+    inference=ComponentSpec.make("likelihood_weighting", n_samples=4096),
+))
+
 
 def resolve_model_spec(spec: str) -> ModelBenchmarkConfig:
     """'backend[:config_id]' -> config (parity: 04_run_benchmark.py:14-120)."""

@@ -47,10 +47,9 @@ class ReferenceVBNModel(BaseBenchmarkModel):
         g.add_nodes_from(self.domain["nodes"])
         g.add_edges_from([tuple(e) for e in self.domain["edges"]])
         self.vbn = self._VBN(g, seed=self.seed, device="cpu")
-        self._gaussian = self.domain.get("class") == "gaussian"
         nodes_cpds = {}
         for node, info in self.domain["nodes"].items():
-            if self._gaussian:
+            if "n_classes" not in info:  # continuous node
                 cpd_name = (self.config.get("cpd") or {}).get(
                     "name", "linear_gaussian"
                 )
@@ -58,11 +57,13 @@ class ReferenceVBNModel(BaseBenchmarkModel):
             else:
                 conf = self._defaults.cpd("categorical_table")
                 conf["n_classes"] = int(info["n_classes"])
-                if info["parents"]:
-                    conf["parent_n_classes"] = [
-                        int(self.domain["nodes"][p]["n_classes"])
-                        for p in info["parents"]
-                    ]
+                parent_cards = [
+                    int(self.domain["nodes"][p]["n_classes"])
+                    for p in info["parents"]
+                    if "n_classes" in self.domain["nodes"][p]
+                ]
+                if parent_cards:
+                    conf["parent_n_classes"] = parent_cards
             nodes_cpds[node] = conf
         self.vbn.set_learning_method("node_wise", nodes_cpds=nodes_cpds)
         df = pd.DataFrame({k: np.asarray(v).ravel() for k, v in data.items()})
@@ -105,7 +106,7 @@ class ReferenceVBNModel(BaseBenchmarkModel):
         q0 = queries[0]
         target = q0.target
         ev_keys = sorted(q0.evidence)
-        if getattr(self, "_gaussian", False):
+        if "n_classes" not in self.domain["nodes"][target]:
             return self._answer_continuous(queries, target, ev_keys)
         k = int(self.domain["nodes"][target]["n_classes"])
 

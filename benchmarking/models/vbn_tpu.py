@@ -51,11 +51,24 @@ class VBNTpuBenchmarkModel(BaseBenchmarkModel):
 
         cpd_conf = dict(self.config.get("cpd") or {"name": "categorical_table"})
         cpd_name = cpd_conf.pop("name", "categorical_table")
+        # Mixed (clgaussian) domains: discrete nodes take their own CPD
+        # family (default categorical_table); `cpd` applies to continuous.
+        disc_conf = dict(
+            self.config.get("cpd_discrete") or {"name": "categorical_table"}
+        )
+        disc_name = disc_conf.pop("name", "categorical_table")
+        mixed = any(
+            "n_classes" not in i for i in self.domain["nodes"].values()
+        ) and any("n_classes" in i for i in self.domain["nodes"].values())
         nodes = self.domain["nodes"]
         out = {}
         for node, info in nodes.items():
-            conf = defaults.cpd(cpd_name)
-            conf.update(cpd_conf)
+            if mixed and "n_classes" in info:
+                conf = defaults.cpd(disc_name)
+                conf.update(disc_conf)
+            else:
+                conf = defaults.cpd(cpd_name)
+                conf.update(cpd_conf)
             if "n_classes" in info:  # discrete node
                 if "n_classes" in conf:
                     conf["n_classes"] = int(info["n_classes"])

@@ -293,6 +293,18 @@ def acquire_random_gaussian(
     return [random_gaussian(n, seed=seed + i) for i, n in enumerate(sizes)]
 
 
+@register_source("random_clg")
+def acquire_random_clg(
+    sizes: Optional[List[int]] = None, seed: int = 0, **_kw
+):
+    """Seeded random conditional-linear-Gaussian nets (the reference
+    suite's *clgaussian* class; see ``clg_bn.py``)."""
+    from .clg_bn import random_clgaussian
+
+    sizes = sizes or [8, 16]
+    return [random_clgaussian(n, seed=seed + i) for i, n in enumerate(sizes)]
+
+
 @register_source("bif_dir")
 def acquire_bif_dir(path: str = ".", **_kw) -> List[DiscreteBN]:
     """Load all .bif/.bif.gz files from a local directory (e.g. a manually

@@ -26,6 +26,7 @@ def stage_networks(bundle: BenchmarkBundle) -> List[str]:
     """Stage I: acquire networks; discrete ones persist as .bif, gaussian
     ones as .gbn.json (the reference's gaussian class ships as R bn.fit
     RDS files, which have no open text format — JSON stands in)."""
+    from .clg_bn import CLGaussianBN
     from .gaussian_bn import GaussianBN
 
     nets = acquire(bundle.spec.source, **bundle.spec.source_kwargs)
@@ -33,6 +34,10 @@ def stage_networks(bundle: BenchmarkBundle) -> List[str]:
     for bn in nets:
         if isinstance(bn, GaussianBN):
             path = os.path.join(ndir, f"{bn.name}.gbn.json")
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(bn.to_json())
+        elif isinstance(bn, CLGaussianBN):
+            path = os.path.join(ndir, f"{bn.name}.clg.json")
             with open(path, "w", encoding="utf-8") as f:
                 f.write(bn.to_json())
         else:
@@ -53,11 +58,22 @@ def _load_network(bundle: BenchmarkBundle, problem: str):
 
         with open(gpath, encoding="utf-8") as f:
             return GaussianBN.from_json(f.read())
+    cpath = os.path.join(bundle.dir("networks"), f"{problem}.clg.json")
+    if os.path.exists(cpath):
+        from .clg_bn import CLGaussianBN
+
+        with open(cpath, encoding="utf-8") as f:
+            return CLGaussianBN.from_json(f.read())
     return load_bif(os.path.join(bundle.dir("networks"), f"{problem}.bif"))
 
 
 def stage_queries(bundle: BenchmarkBundle) -> None:
     """Stage II: generate queries + exact ground truth per problem."""
+    from .clg_bn import (
+        CLGaussianBN,
+        clg_ground_truth,
+        generate_clg_inference_queries,
+    )
     from .gaussian_bn import (
         GaussianBN,
         gaussian_ground_truth,
@@ -71,7 +87,15 @@ def stage_queries(bundle: BenchmarkBundle) -> None:
         gdir = bundle.dir("ground_truth", problem)
         gt_records: List[Dict] = []
         if spec.mode in ("inference", "both"):
-            if isinstance(bn, GaussianBN):
+            if isinstance(bn, CLGaussianBN):
+                queries = generate_clg_inference_queries(
+                    bn,
+                    n_queries=spec.n_queries,
+                    seed=spec.seed,
+                    evidence_modes=tuple(spec.evidence_modes),
+                )
+                gt = clg_ground_truth(bn, queries)
+            elif isinstance(bn, GaussianBN):
                 queries = generate_gaussian_inference_queries(
                     bn,
                     n_queries=spec.n_queries,
@@ -92,7 +116,9 @@ def stage_queries(bundle: BenchmarkBundle) -> None:
                 [q.to_dict() for q in queries],
             )
             gt_records += gt
-        if spec.mode in ("cpds", "both") and not isinstance(bn, GaussianBN):
+        if spec.mode in ("cpds", "both") and not isinstance(
+            bn, (GaussianBN, CLGaussianBN)
+        ):
             cqueries = generate_cpd_queries(
                 bn, n_queries=spec.n_queries, seed=spec.seed
             )
@@ -106,16 +132,18 @@ def stage_queries(bundle: BenchmarkBundle) -> None:
 
 def stage_data(bundle: BenchmarkBundle, n_datasets: int = 1) -> None:
     """Stage III: exact ancestral training data + domain schema."""
-    from .data_gen import write_gaussian_problem_assets
+    from .clg_bn import CLGaussianBN
+    from .data_gen import write_clg_problem_assets, write_gaussian_problem_assets
     from .gaussian_bn import GaussianBN
 
     for problem in bundle.problems():
         bn = _load_network(bundle, problem)
-        writer = (
-            write_gaussian_problem_assets
-            if isinstance(bn, GaussianBN)
-            else write_problem_assets
-        )
+        if isinstance(bn, GaussianBN):
+            writer = write_gaussian_problem_assets
+        elif isinstance(bn, CLGaussianBN):
+            writer = write_clg_problem_assets
+        else:
+            writer = write_problem_assets
         writer(
             bn,
             bundle.dir("datasets", problem),
