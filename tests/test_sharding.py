@@ -115,9 +115,9 @@ def test_graft_entry_contract():
 
 
 def test_ris_resampling_under_mesh(vbn, mesh):
-    """RIS's resample step must stay mesh-compatible: the fused Pallas
-    kernel is single-device, so under a mesh the sweep uses the XLA
-    index+gather form (whose reductions pjit partitions)."""
+    """RIS's resample step must stay mesh-compatible: under a mesh the
+    sweep uses the ppermute-ring distributed resampling
+    (ops/resample_distributed.py) with per-shard sorted gathers."""
     vbn.set_mesh(mesh)
     try:
         vbn.set_inference_method(

@@ -28,6 +28,10 @@ from ..ops.resample import (
     multinomial_resample_indices,
     systematic_resample_indices,
 )
+from ..ops.resample_distributed import (
+    distributed_resample_gather,
+    distributed_resample_supported,
+)
 from ..ops.resample_pallas import (
     multinomial_resample_gather,
     srg_available,
@@ -162,13 +166,28 @@ class ResampledImportanceSampling(CompiledMethod):
                                     [vals[j] for j in live], axis=-1
                                 )
                                 d_live = cat.shape[-1]
-                                # The fused kernel is single-device
-                                # (pallas_call does not auto-partition):
-                                # under a mesh, keep the index+gather XLA
-                                # form, whose reductions/gathers pjit
-                                # handles with collectives.
-                                if (
-                                    getattr(vbn, "_mesh", None) is None
+                                mesh = getattr(vbn, "_mesh", None)
+                                if mesh is not None and (
+                                    distributed_resample_supported(
+                                        mesh, bb, s
+                                    )
+                                ):
+                                    # Sharded particle axis: ppermute-ring
+                                    # distributed resampling — the fused
+                                    # sorted-gather kernel per shard, one
+                                    # rotation of values, no global
+                                    # all-gather (SURVEY §5.8's
+                                    # "distributed systematic
+                                    # resampling" reduction point).
+                                    res = distributed_resample_gather(
+                                        fold(key, 10_000 + idx),
+                                        weights,
+                                        cat,
+                                        mesh,
+                                        method=resample_method,
+                                    )
+                                elif (
+                                    mesh is None
                                     and srg_available()
                                     and srg_supported(s, d_live)
                                 ):
