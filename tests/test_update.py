@@ -102,3 +102,80 @@ def test_update_requires_first_method():
     v2.fit(make_chain_df(n=200))
     with pytest.raises(RuntimeError, match="update_method"):
         v2.update(make_chain_df(n=50))
+
+
+def test_fused_update_matches_eager_bitwise(monkeypatch):
+    """The whole-network compiled update and the eager per-node loop must
+    produce identical params (same key-stream consumption, same math)."""
+    import networkx as nx
+    import pandas as pd
+
+    from vectorizedbayesiannetwork_tpu import VBN, defaults
+    from vectorizedbayesiannetwork_tpu.core.base import BaseCPD
+
+    def build():
+        g = np.random.default_rng(0)
+        n = 1200
+        x0 = g.normal(size=n)
+        x1 = 0.7 * x0 + 0.2 * g.normal(size=n)
+        df = pd.DataFrame({"x0": x0, "x1": x1})
+        v = VBN(nx.DiGraph([("x0", "x1")]), seed=0)
+        v.set_learning_method(
+            "node_wise",
+            nodes_cpds={
+                "x0": defaults.cpd("linear_gaussian"),
+                "x1": defaults.cpd("gaussian_nn"),
+            },
+        )
+        v.fit(df)
+        return v, df
+
+    v1, df = build()
+    v1.update(df.iloc[:256], update_method="online_sgd")
+    assert "_update_prog_cache" in v1.__dict__ and v1._update_prog_cache
+
+    v2, df = build()
+    monkeypatch.setattr(BaseCPD, "update_program", lambda self, conf: None)
+    for cls in type(v2.cpd_spec("x0")).__mro__:
+        if "update_program" in cls.__dict__ and cls is not BaseCPD:
+            monkeypatch.setattr(cls, "update_program", lambda self, conf: None)
+    for cls in type(v2.cpd_spec("x1")).__mro__:
+        if "update_program" in cls.__dict__ and cls is not BaseCPD:
+            monkeypatch.setattr(cls, "update_program", lambda self, conf: None)
+    v2.update(df.iloc[:256], update_method="online_sgd")
+    assert not v2.__dict__.get("_update_prog_cache")
+
+    import jax
+
+    for node in ["x0", "x1"]:
+        a = jax.tree_util.tree_leaves(v1.params[node])
+        b = jax.tree_util.tree_leaves(v2.params[node])
+        for la, lb in zip(a, b):
+            if la is None or lb is None:
+                continue
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_fused_update_categorical_precheck():
+    """Out-of-support rows raise from the fused path's host precheck."""
+    import networkx as nx
+    import pandas as pd
+
+    from vectorizedbayesiannetwork_tpu import VBN, defaults
+
+    g = np.random.default_rng(1)
+    a = g.integers(0, 3, size=800)
+    b = (a + g.integers(0, 2, size=800)) % 3
+    df = pd.DataFrame({"a": a, "b": b}, dtype=float)
+    v = VBN(nx.DiGraph([("a", "b")]), seed=0)
+    conf = dict(defaults.cpd("categorical_table"), n_classes=3)
+    conf2 = dict(conf)
+    conf2["parent_n_classes"] = [3]
+    v.set_learning_method("node_wise", nodes_cpds={"a": conf, "b": conf2})
+    v.fit(df)
+    v.update(df.iloc[:100], update_method="streaming_stats")
+    assert v.__dict__.get("_update_prog_cache")
+    bad = df.iloc[:50].copy()
+    bad.loc[bad.index[0], "b"] = 7.0
+    with pytest.raises(ValueError):
+        v.update(bad)

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from abc import ABC, abstractmethod
 from dataclasses import dataclass, field
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -121,6 +121,23 @@ class BaseCPD(ABC):
     ) -> Params:
         """Online update; default = refit (closed-form CPDs override/alias)."""
         return self.fit(params, key, parents, x, **kwargs)
+
+    def update_program(self, conf: Dict) -> Optional[Callable]:
+        """Pure jittable ``fn(params, key, parents, x) -> params``
+        implementing ``update(**conf)``, or None when the update needs
+        host-side work (spec refinement, data-dependent shapes, host
+        syncs). Update policies fuse a whole network's per-node updates
+        into ONE compiled dispatch when every node provides a program —
+        the streaming-update serving path (a small-batch update then
+        costs one async dispatch, not a per-node eager op stream)."""
+        return None
+
+    def update_host_precheck(
+        self, params: Params, parents: Optional[jax.Array], x: jax.Array
+    ) -> None:
+        """Cheap host-side (numpy) validation run before a fused update
+        dispatch — raises where the eager path would."""
+        return None
 
     # -- pure compute primitives (flat) --------------------------------------
     @abstractmethod

@@ -309,6 +309,67 @@ class CategoricalTableCPD(BaseCPD):
         if not np.isin(col, support).all():
             raise ValueError(f"Found values outside support for {label}.")
 
+    def update_program(self, conf):
+        """Pure refit-on-new-data (fused update path), DECLARED supports.
+
+        With ``n_classes`` and (for parented nodes) ``parent_n_classes``
+        declared, the support tables are spec constants already resolved
+        into params, so the refit is exactly the jitted scatter-add
+        count program. Inferred-support nodes return None: their eager
+        update may refine the static spec from data (host-side), which a
+        compiled program cannot."""
+        if self.n_classes <= 0 or (
+            self.input_dim > 0 and self.parent_n_classes is None
+        ):
+            return None
+        if self.input_dim > 0 and not self.parent_cards:
+            return None  # not fitted yet (support tables absent)
+        p_states = int(self._parent_states)
+        c = int(self.resolved_classes)
+        strides = np.asarray(self._strides, np.int32)
+
+        def fn(params, key, parents, x):
+            x = jnp.asarray(x, jnp.float32)
+            if x.ndim == 1:
+                x = x[:, None]
+            n = x.shape[0]
+            if parents is None:
+                parents = jnp.zeros((n, 0), jnp.float32)
+            else:
+                parents = jnp.asarray(parents, jnp.float32).reshape(n, -1)
+            counts = _accumulate_counts(
+                parents,
+                x,
+                params["class_values"],
+                params["class_mask"],
+                params["parent_values"],
+                params["parent_mask"],
+                jnp.asarray(strides),
+                p_states=p_states,
+                c=c,
+                alpha=float(self.alpha),
+                alpha_mode=str(self.alpha_mode),
+                prior=str(self.prior),
+            )
+            return {**params, "counts": counts}
+
+        return fn
+
+    def update_host_precheck(self, params, parents, x) -> None:
+        """Declared-support membership checks the eager fit would raise."""
+        x_np = np.asarray(x, np.float32).reshape(-1, self.output_dim)
+        support = np.arange(max(self.n_classes, 1), dtype=np.float32)
+        for d in range(self.output_dim):
+            self._check_in_support(x_np[:, d], support, f"target dim {d}")
+        if self.input_dim and parents is not None:
+            p_np = np.asarray(parents, np.float32).reshape(-1, self.input_dim)
+            for d, card in enumerate(self.parent_n_classes or []):
+                self._check_in_support(
+                    p_np[:, d],
+                    np.arange(int(card), dtype=np.float32),
+                    f"parent {d}",
+                )
+
     # -- index mapping (vectorized masked comparison-count) -------------------
     def _parents_to_index(self, params: Params, parents: jax.Array) -> jax.Array:
         """[M, Din] float values -> [M] mixed-radix parent state index."""

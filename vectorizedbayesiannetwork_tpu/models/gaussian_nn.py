@@ -274,6 +274,16 @@ class GaussianNNCPD(BaseCPD):
             ema_alpha=ema_alpha,
         )
 
+    def update_program(self, conf):
+        """The jit-scanned Adam update is pure (models/_train.py) ->
+        traceable into the fused whole-network update program."""
+        conf = dict(conf)
+
+        def fn(params, key, parents, x):
+            return self.update(params, key, parents, x, **conf)
+
+        return fn
+
     # -- pure kernels --------------------------------------------------------
     def _denorm_params(self, params: Params, parents: Optional[jax.Array], m: int):
         stats = params["stats"]

@@ -131,6 +131,45 @@ class KDECPD(BaseCPD):
             jnp.concatenate([old_x, x], axis=0),
         )
 
+    def update_program(self, conf):
+        """Pure fixed-shape variant of ``update`` (fused update path).
+
+        The eager form reads the valid count to host and concatenates
+        variable-length slices; here the buffer keeps its static
+        ``max_points`` shape and the uniform re-subsample among valid
+        rows is a Gumbel top-k over the (buffer + batch) pool — the same
+        distribution (uniform m-subset of the valid rows, all of them
+        when they fit), with row order permuted (KDE is order-invariant).
+        """
+
+        def fn(params, key, parents, x):
+            x = jnp.asarray(x, jnp.float32)
+            if x.ndim == 1:
+                x = x[:, None]
+            n_new = x.shape[0]
+            if parents is None:
+                parents = jnp.zeros((n_new, 0), jnp.float32)
+            else:
+                parents = jnp.asarray(parents, jnp.float32).reshape(n_new, -1)
+            pool_p = jnp.concatenate([params["data_p"], parents], axis=0)
+            pool_x = jnp.concatenate([params["data_x"], x], axis=0)
+            pool_v = jnp.concatenate(
+                [params["valid"], jnp.ones((n_new,), jnp.float32)]
+            )
+            g = jnp.where(
+                pool_v > 0,
+                jax.random.gumbel(key, pool_v.shape, dtype=jnp.float32),
+                -1e30,  # invalid rows lose every top-k contest
+            )
+            _, idx = jax.lax.top_k(g, self.max_points)
+            return {
+                "data_p": jnp.take(pool_p, idx, axis=0),
+                "data_x": jnp.take(pool_x, idx, axis=0),
+                "valid": jnp.take(pool_v, idx),
+            }
+
+        return fn
+
     # -- kernels (MXU matmul form, chunked over M; ops/kde_kernel.py) --------
     def _y_scale(self) -> float:
         return max(float(self.bandwidth), 1e-3) + self.min_scale

@@ -184,6 +184,16 @@ class MDNCPD(BaseCPD):
                            weight_decay=weight_decay,
                            max_grad_norm=max_grad_norm, ema_alpha=ema_alpha)
 
+    def update_program(self, conf):
+        """The jit-scanned Adam update is pure (models/_train.py) ->
+        traceable into the fused whole-network update program."""
+        conf = dict(conf)
+
+        def fn(params, key, parents, x):
+            return self.update(params, key, parents, x, **conf)
+
+        return fn
+
     # -- pure kernels --------------------------------------------------------
     def _sample_flat(self, params, key, parents, m):
         logits, loc, scale = self.mixture_params(

@@ -171,6 +171,15 @@ class RFFGaussianCPD(BaseCPD):
 
     # update = refit (parity rff_gaussian.py:244-255)
 
+    def update_program(self, conf):
+        """Refit is pure jnp -> directly traceable (fused update path)."""
+        conf = dict(conf)
+
+        def fn(params, key, parents, x):
+            return self.fit(params, key, parents, x, **conf)
+
+        return fn
+
     # -- pure kernels --------------------------------------------------------
     def _scale(self, params: Params) -> jax.Array:
         return jnp.sqrt(jnp.maximum(params["var"], self.min_scale**2))

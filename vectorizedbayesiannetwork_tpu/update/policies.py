@@ -17,8 +17,9 @@ rather than mutating modules.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
+import jax
 import numpy as np
 
 from ..core.registry import register_update
@@ -26,14 +27,75 @@ from ..core.rng import fold
 from .base_update import BaseUpdatePolicy, node_update_inputs, resolve_node_update
 
 
-def _update_all_nodes(vbn, data, apply_fn):
-    for node_idx, node in enumerate(vbn.dag.topological_order()):
-        params_conf = resolve_node_update(vbn, node)
-        parents, x = node_update_inputs(vbn, data, node)
-        key = fold(vbn.next_key(), node_idx)
-        vbn.params[node] = apply_fn(
-            vbn.cpd_spec(node), vbn.params[node], key, parents, x, params_conf
+def _update_all_nodes(vbn, data, *, extra: Optional[Dict] = None,
+                      require_nll: bool = False):
+    """Per-node updates in topo order — as ONE compiled dispatch when every
+    CPD provides a pure ``update_program`` (the streaming-update serving
+    path: milliseconds per small batch instead of a per-node eager op
+    stream), falling back to the eager loop otherwise. Both paths consume
+    the key stream identically (node i uses ``fold(fold_in(root, c0+i),
+    i)``), so fused and eager draws are bit-identical."""
+    topo = list(vbn.dag.topological_order())
+    confs, progs, inputs = [], [], []
+    for node in topo:
+        conf = resolve_node_update(vbn, node)
+        if extra:
+            conf = {**conf, **extra}
+        cpd = vbn.cpd_spec(node)
+        if require_nll and not hasattr(cpd, "_nll"):
+            raise NotImplementedError(
+                "CPD has no trainable parameters for EMA update"
+            )
+        confs.append(conf)
+        progs.append(cpd.update_program(conf))
+        inputs.append(node_update_inputs(vbn, data, node))
+
+    if topo and all(p is not None for p in progs):
+        for node, (parents, x) in zip(topo, inputs):
+            vbn.cpd_spec(node).update_host_precheck(
+                vbn.params[node], parents, x
+            )
+        cache = vbn.__dict__.setdefault("_update_prog_cache", {})
+        sig = (
+            vbn.structure_fingerprint(),
+            tuple(tuple(sorted(c.items())) for c in confs),
+            tuple(
+                (None if p is None else p.shape, x.shape)
+                for p, x in inputs
+            ),
         )
+        fn = cache.get(sig)
+        if fn is None:
+            progs_t = tuple(progs)
+
+            def whole(params_list, key_spec, flat_inputs, _p=progs_t):
+                root, c0 = key_spec
+                out = []
+                for i, prog in enumerate(_p):
+                    k = fold(jax.random.fold_in(root, c0 + i), i)
+                    parents, x = flat_inputs[i]
+                    out.append(prog(params_list[i], k, parents, x))
+                return tuple(out)
+
+            fn = jax.jit(whole)
+            cache[sig] = fn
+        c0 = vbn._keys.state()
+        vbn._keys.set_state(c0 + len(topo))  # same stream as the eager loop
+        new_params = fn(
+            tuple(vbn.params[n] for n in topo),
+            (vbn._keys._root, np.uint32(c0)),
+            tuple(inputs),
+        )
+        for node, p in zip(topo, new_params):
+            vbn.params[node] = p
+    else:
+        for node_idx, (node, conf, (parents, x)) in enumerate(
+            zip(topo, confs, inputs)
+        ):
+            key = fold(vbn.next_key(), node_idx)
+            vbn.params[node] = vbn.cpd_spec(node).update(
+                vbn.params[node], key, parents, x, **conf
+            )
     vbn._plan_cache.clear()  # static spec fields may have been refined
     return vbn.nodes
 
@@ -42,22 +104,14 @@ def _update_all_nodes(vbn, data, apply_fn):
 class StreamingStatsUpdate(BaseUpdatePolicy):
     def update(self, vbn, data, **kwargs):
         kwargs.pop("verbosity", None)
-        return _update_all_nodes(
-            vbn,
-            data,
-            lambda cpd, p, k, par, x, conf: cpd.update(p, k, par, x, **conf),
-        )
+        return _update_all_nodes(vbn, data)
 
 
 @register_update("online_sgd")
 class OnlineSGDUpdate(BaseUpdatePolicy):
     def update(self, vbn, data, **kwargs):
         kwargs.pop("verbosity", None)
-        return _update_all_nodes(
-            vbn,
-            data,
-            lambda cpd, p, k, par, x, conf: cpd.update(p, k, par, x, **conf),
-        )
+        return _update_all_nodes(vbn, data)
 
 
 @register_update("ema")
@@ -68,15 +122,9 @@ class EMAUpdate(BaseUpdatePolicy):
     def update(self, vbn, data, alpha=None, **kwargs):
         kwargs.pop("verbosity", None)
         a = float(alpha if alpha is not None else self.alpha)
-
-        def apply(cpd, p, k, par, x, conf):
-            if not hasattr(cpd, "_nll"):
-                raise NotImplementedError(
-                    "CPD has no trainable parameters for EMA update"
-                )
-            return cpd.update(p, k, par, x, ema_alpha=a, **conf)
-
-        return _update_all_nodes(vbn, data, apply)
+        return _update_all_nodes(
+            vbn, data, extra={"ema_alpha": a}, require_nll=True
+        )
 
 
 @register_update("replay_buffer")
