@@ -1,18 +1,22 @@
 """Headline benchmark: posterior queries/s at 1M particles (BASELINE.json).
 
-Workload: the flagship 3-node linear-Gaussian DAG (README minimal example
-config), monte-carlo-marginalization posterior with S=1,048,576 particles
-per query — the north-star metric "posterior queries/s/chip at 1M
-particles". Throughput framing: each system runs at its own best serving
-batch — B=256 here (v5e saturates around there; B=512 exceeds HBM), B=8
-for the torch reference on CPU (it is memory-bound and DEGRADES with
-batch: measured 15.2 q/s at B=8 vs 5.7 q/s at B=128).
+Workload (two configs, both S=1,048,576 particles per query):
+  * HEADLINE — the asia chest-clinic network (benchmark-class: 8 nodes,
+    all-categorical, a canonical bnlearn suite member), likelihood-
+    weighting posterior p(dysp | smoke, asia) over a 256-query evidence
+    batch;
+  * secondary — the flagship 3-node linear-Gaussian DAG (README minimal
+    example config), monte-carlo-marginalization posterior.
+Throughput framing: each system runs at its own best serving batch —
+B=256 here (v5e saturates around there; B=512 exceeds HBM), B=8 for the
+torch reference on CPU (it is memory-bound and DEGRADES with batch:
+measured 15.2 q/s at B=8 vs 5.7 q/s at B=128).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is the speedup over the reference torch implementation
-(/root/reference) running the identical per-query workload on this host's
-CPU (the reference has no published numbers to compare against —
-SURVEY.md §6).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}
+where value/vs_baseline are the asia numbers (speedup over the reference
+torch implementation at /root/reference running the identical per-query
+workload on this host's CPU — it has no published numbers, SURVEY.md §6)
+and the flagship numbers ride as extra keys.
 """
 
 from __future__ import annotations
@@ -108,21 +112,119 @@ def bench_reference_cpu() -> float:
     return B_REF / best
 
 
+def _asia_frames():
+    """(nodes_cpds df, evidence arrays) for the asia workload."""
+    from benchmarking.data_gen import generate_dataset
+    from benchmarking.networks import asia
+
+    bn = asia()
+    data = generate_dataset(bn, 4096, seed=0)
+    return bn, data
+
+
+def bench_tpu_asia() -> float:
+    """Benchmark-class headline: asia, LW posterior at 1M particles."""
+    import networkx as nx
+
+    from vectorizedbayesiannetwork_tpu import VBN, defaults
+
+    bn, data = _asia_frames()
+    g = nx.DiGraph()
+    g.add_nodes_from(bn.nodes)
+    g.add_edges_from(bn.edges())
+    vbn = VBN(g, seed=0)
+    conf = {
+        node: dict(
+            defaults.cpd("categorical_table"),
+            n_classes=bn.card(node),
+            parent_n_classes=[bn.card(p) for p in bn.parents[node]] or None,
+        )
+        for node in bn.nodes
+    }
+    for c in conf.values():
+        if c["parent_n_classes"] is None:
+            del c["parent_n_classes"]
+    vbn.set_learning_method("node_wise", nodes_cpds=conf)
+    vbn.fit({k: np.asarray(v, np.float32).reshape(-1, 1) for k, v in data.items()})
+    vbn.set_inference_method("likelihood_weighting", n_samples=S)
+    ev = {
+        "smoke": (np.arange(B) % 2).reshape(B, 1).astype(np.float32),
+        "asia": ((np.arange(B) // 2) % 2).reshape(B, 1).astype(np.float32),
+    }
+    query = {"target": "dysp", "evidence": ev}
+    _sync(vbn.infer_posterior(query))  # compile
+    _sync(vbn.infer_posterior(query))  # warm
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(REPS):
+        out = vbn.infer_posterior(query)
+    _sync(out)
+    return (B * REPS) / (time.perf_counter() - t0)
+
+
+def bench_reference_cpu_asia() -> float:
+    sys.path.insert(0, "/root/reference")
+    import networkx as nx
+    import pandas as pd
+    import torch
+
+    from vbn import VBN as RefVBN, defaults as ref_defaults
+
+    bn, data = _asia_frames()
+    g = nx.DiGraph()
+    g.add_nodes_from(bn.nodes)
+    g.add_edges_from(bn.edges())
+    vbn = RefVBN(g, seed=0, device="cpu")
+    conf = {}
+    for node in bn.nodes:
+        c = ref_defaults.cpd("categorical_table")
+        c["n_classes"] = bn.card(node)
+        if bn.parents[node]:
+            c["parent_n_classes"] = [bn.card(p) for p in bn.parents[node]]
+        conf[node] = c
+    vbn.set_learning_method("node_wise", nodes_cpds=conf)
+    vbn.fit(pd.DataFrame({k: np.asarray(v, np.float64) for k, v in data.items()}))
+    vbn.set_inference_method("likelihood_weighting", n_samples=S)
+    ev = {
+        "smoke": torch.tensor(
+            (np.arange(B_REF) % 2).reshape(B_REF, 1), dtype=torch.float32
+        ),
+        "asia": torch.tensor(
+            ((np.arange(B_REF) // 2) % 2).reshape(B_REF, 1),
+            dtype=torch.float32,
+        ),
+    }
+    query = {"target": "dysp", "evidence": ev}
+    vbn.infer_posterior(query)  # warmup
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        vbn.infer_posterior(query)
+        best = min(best, time.perf_counter() - t0)
+    return B_REF / best
+
+
 def main() -> None:
-    qps = bench_tpu()
-    vs = None
+    asia_qps = bench_tpu_asia()
+    lg_qps = bench_tpu()
+    asia_vs = lg_vs = None
     try:
-        ref_qps = bench_reference_cpu()
-        vs = qps / ref_qps
+        asia_vs = asia_qps / bench_reference_cpu_asia()
+        lg_vs = lg_qps / bench_reference_cpu()
     except Exception as exc:  # reference env missing -> report absolute only
         print(f"# reference comparison unavailable: {exc}", file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "posterior_queries_per_s_at_1M_particles",
-                "value": round(qps, 3),
+                "value": round(asia_qps, 3),
                 "unit": "queries/s",
-                "vs_baseline": None if vs is None else round(vs, 3),
+                "vs_baseline": None if asia_vs is None else round(asia_vs, 3),
+                "workload": "asia (bnlearn-class, 8-node categorical), LW",
+                "flagship_lg_qps": round(lg_qps, 3),
+                "flagship_lg_vs_baseline": (
+                    None if lg_vs is None else round(lg_vs, 3)
+                ),
             }
         )
     )
