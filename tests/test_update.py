@@ -179,3 +179,53 @@ def test_fused_update_categorical_precheck():
     bad.loc[bad.index[0], "b"] = 7.0
     with pytest.raises(ValueError):
         v.update(bad)
+
+
+def test_fused_update_emb_matches_eager(monkeypatch):
+    """categorical_embedded_softmax's pure update program == eager update."""
+    import networkx as nx
+    import pandas as pd
+
+    from vectorizedbayesiannetwork_tpu import VBN, defaults
+
+    def build():
+        g = np.random.default_rng(3)
+        a = g.integers(0, 3, size=900)
+        b = (a + g.integers(0, 2, size=900)) % 3
+        df = pd.DataFrame({"a": a, "b": b}, dtype=float)
+        v = VBN(nx.DiGraph([("a", "b")]), seed=0)
+        ca = dict(
+            defaults.cpd("categorical_embedded_softmax"), n_classes=3
+        )
+        cb = dict(ca)
+        cb["parent_n_classes"] = [3]
+        v.set_learning_method("node_wise", nodes_cpds={"a": ca, "b": cb})
+        v.fit(df)
+        return v, df
+
+    v1, df = build()
+    v1.update(df.iloc[:200], update_method="online_sgd")
+    assert v1.__dict__.get("_update_prog_cache")
+
+    v2, df = build()
+    from vectorizedbayesiannetwork_tpu.models.categorical_embedded_softmax import (
+        CategoricalEmbeddedSoftmaxCPD,
+    )
+
+    monkeypatch.setattr(
+        CategoricalEmbeddedSoftmaxCPD,
+        "update_program",
+        lambda self, conf: None,
+    )
+    v2.update(df.iloc[:200], update_method="online_sgd")
+
+    import jax
+
+    for node in ["a", "b"]:
+        for la, lb in zip(
+            jax.tree_util.tree_leaves(v1.params[node]),
+            jax.tree_util.tree_leaves(v2.params[node]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb), rtol=1e-6, atol=1e-7
+            )

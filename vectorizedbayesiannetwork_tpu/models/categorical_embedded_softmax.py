@@ -376,6 +376,87 @@ class CategoricalEmbeddedSoftmaxCPD(BaseCPD):
                            weight_decay=weight_decay,
                            max_grad_norm=max_grad_norm, ema_alpha=ema_alpha)
 
+    def update_program(self, conf):
+        """Pure update for the DECLARED-support, already-fitted case
+        (fused update path): support tables live in params, index mapping
+        is the masked comparison-count, inverse-frequency class weights
+        become an in-graph one-hot bincount, and training is the
+        jit-scanned Adam loop. Inferred-support nodes stay eager (their
+        update may refine the static spec from data)."""
+        if not self.ready or self.n_classes <= 0:
+            return None
+        if self.input_dim > 0 and self.parent_n_classes is None:
+            return None
+        conf = dict(conf)
+        c = int(self.resolved_classes)
+
+        def fn(params, key, parents, x):
+            x2 = jnp.asarray(x, jnp.float32)
+            if x2.ndim == 1:
+                x2 = x2[:, None]
+            n = x2.shape[0]
+            if parents is None:
+                parents = jnp.zeros((n, 0), jnp.float32)
+            else:
+                parents = jnp.asarray(parents, jnp.float32).reshape(n, -1)
+            parent_idx = self._parents_to_indices(params, parents).astype(
+                jnp.float32
+            )
+            targets = self._targets_to_indices(params, x2)
+            if self.class_weighting == "inverse_freq":
+                counts = jnp.sum(
+                    jax.nn.one_hot(targets.reshape(-1), c, dtype=jnp.float32),
+                    axis=0,
+                )
+                w = jnp.sum(counts) / jnp.maximum(counts, 1.0)
+                w = w / jnp.maximum(jnp.mean(w), 1e-12)
+            else:
+                w = jnp.ones((c,), jnp.float32)
+            aux = {
+                "class_weights": w,
+                "class_mask": params["class_mask"],
+            }
+            net_emb = {"net": params["net"], "emb": params.get("emb", {})}
+            mgn = conf.get("max_grad_norm")
+            new_net_emb, opt = fit_minibatch_nll(
+                self, "_nll", net_emb, params.get("opt"), key,
+                parent_idx, targets.astype(jnp.float32),
+                epochs=conf.get("n_steps", 1),
+                batch_size=conf.get("batch_size", 128),
+                lr=conf.get("lr", 1e-3),
+                weight_decay=conf.get("weight_decay", 0.0),
+                max_grad_norm=mgn if mgn is not None else self.max_grad_norm,
+                aux=aux,
+                ema_alpha=conf.get("ema_alpha"),
+            )
+            return {
+                **params,
+                "net": new_net_emb["net"],
+                "emb": new_net_emb["emb"],
+                "opt": opt,
+            }
+
+        return fn
+
+    def update_host_precheck(self, params, parents, x) -> None:
+        """Declared-support membership checks the eager path would raise."""
+        x_np = np.asarray(x, np.float32).reshape(-1, self.output_dim)
+        support = np.arange(max(self.n_classes, 1), dtype=np.float32)
+        for d in range(self.output_dim):
+            if not np.isin(x_np[:, d], support).all():
+                raise ValueError(
+                    f"Found values outside support for target dim {d}."
+                )
+        if self.input_dim and parents is not None:
+            p_np = np.asarray(parents, np.float32).reshape(-1, self.input_dim)
+            for d, card in enumerate(self.parent_n_classes or []):
+                if not np.isin(
+                    p_np[:, d], np.arange(int(card), dtype=np.float32)
+                ).all():
+                    raise ValueError(
+                        f"Found values outside support for parent {d}."
+                    )
+
     # -- pure kernels --------------------------------------------------------
     def _logits_flat(self, params, parents: Optional[jax.Array], m: int):
         if not self.ready:
