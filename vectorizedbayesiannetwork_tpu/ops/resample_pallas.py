@@ -168,23 +168,28 @@ def _pair_pick(cw0, cw1, vw0, vw1, uqs, u_last, prev_last, acc, d8):
 def _srg_kernel(
     u0_ref,  # SMEM [B, 1] f32 (scalar prefetch)
     p_ref,  # SMEM [B, K] int32 window pointers (scalar prefetch)
-    blk0_ref,  # VMEM [1, 1, 4*(dp+1), 128] pipelined window (pointer):
-    #            rows 0..4 = CDF lane-blocks, rest = value lane-blocks
-    blk1_ref,  # VMEM [1, 1, 4*(dp+1), 128] pipelined window (pointer + 1)
-    blk_raw,  # HBM [B, K, 4*(dp+1), 128] full blocks (overflow walk)
-    out_ref,  # VMEM [1, rows_out, 128] quarter-blocked output tile
-    bso0,  # VMEM scratch [4*(dp+1), 128] (overflow)
-    bso1,  # VMEM scratch [4*(dp+1), 128]
-    sems,  # DMA semaphores (2,)
-    *,
+    *args,  # 2r pipelined window refs [1, 1, 4*(dp+1), 128] (rows 0..4 =
+    #         CDF lane-blocks, rest = value lane-blocks), then the HBM
+    #         blocks (overflow walk), the [1, 1, r*rows_out, 128] output
+    #         block, VMEM overflow scratch x2, DMA semaphores (2,)
     s: int,
     dp: int,
+    r: int,
 ):
+    """r output tiles per program instance: the per-instance fixed cost
+    (grid bookkeeping, pipeline bubbles) measured ~0.6 us/tile over 16k
+    tiles at 8x1M (~10 of 23 ms) — amortized r-fold by resolving r
+    consecutive tiles, each with its own prefetched window pair, in one
+    instance."""
+    blks = args[: 2 * r]
+    blk_raw = args[2 * r]
+    out_ref = args[2 * r + 1]
+    bso0, bso1, sems = args[2 * r + 2], args[2 * r + 3], args[2 * r + 4]
     b = pl.program_id(0)
-    k = pl.program_id(1)
+    kk = pl.program_id(1)
+    rows_out = out_ref.shape[2] // r
     inv_s = jnp.float32(1.0 / s)
     u0s = u0_ref[b, 0] * inv_s
-    base = (k * T).astype(jnp.float32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1).astype(
         jnp.float32
     )
@@ -194,46 +199,54 @@ def _srg_kernel(
     # clamp keeps the kernel bit-identical to the XLA reference (which
     # clamps the same way).
     pos_max = jnp.float32(_POS_MAX)
-    u = jnp.minimum(
-        (base + iota) * inv_s + u0s, pos_max
-    )  # [1, T] sorted positions (lanes)
-    u_last = jnp.minimum(
-        (base + jnp.float32(T - 1)) * inv_s + u0s, pos_max
-    )
-    uqs = [u[:, oq * _LB : (oq + 1) * _LB] for oq in range(T // _LB)]
-    _resolve_tile(
-        b, p_ref[b, k], uqs, u_last, blk0_ref, blk1_ref, blk_raw,
-        out_ref, bso0, bso1, sems, dp,
-    )
+    for j in range(r):
+        k = kk * r + j
+        base = (k * T).astype(jnp.float32)
+        u = jnp.minimum(
+            (base + iota) * inv_s + u0s, pos_max
+        )  # [1, T] sorted positions (lanes)
+        u_last = jnp.minimum(
+            (base + jnp.float32(T - 1)) * inv_s + u0s, pos_max
+        )
+        uqs = [u[:, oq * _LB : (oq + 1) * _LB] for oq in range(T // _LB)]
+        _resolve_tile(
+            b, p_ref[b, k], uqs, u_last, blks[2 * j], blks[2 * j + 1],
+            blk_raw, out_ref, bso0, bso1, sems, dp,
+            row0=j * rows_out, rows_out=rows_out,
+        )
 
 
 def _spg_kernel(
     p_ref,  # SMEM [B, K] int32 window pointers (scalar prefetch)
-    pos_ref,  # VMEM [1, 1, nq, 128] this tile's sorted positions
-    blk0_ref,  # VMEM [1, 1, 4*(dp+1), 128] pipelined window (pointer)
-    blk1_ref,  # VMEM [1, 1, 4*(dp+1), 128] pipelined window (pointer + 1)
-    blk_raw,  # HBM [B, K, 4*(dp+1), 128] full blocks (overflow walk)
-    out_ref,  # VMEM [1, 1, rows_out, 128] quarter-blocked output tile
-    bso0,  # VMEM scratch (overflow)
-    bso1,  # VMEM scratch
-    sems,  # DMA semaphores (2,)
-    *,
+    *args,  # positions block [1, r, nq, 128], then 2r pipelined window
+    #         refs, HBM blocks, output [1, 1, r*rows_out, 128], scratch,
+    #         semaphores — see _srg_kernel
     dp: int,
+    r: int,
 ):
+    pos_ref = args[0]
+    blks = args[1 : 1 + 2 * r]
+    blk_raw = args[1 + 2 * r]
+    out_ref = args[2 + 2 * r]
+    bso0, bso1, sems = args[3 + 2 * r], args[4 + 2 * r], args[5 + 2 * r]
     b = pl.program_id(0)
-    k = pl.program_id(1)
-    pos = pos_ref[0, 0]  # [nq, 128]
-    uqs = [pos[oq : oq + 1, :] for oq in range(T // _LB)]
-    u_last = jnp.max(pos)  # positions are globally sorted
-    _resolve_tile(
-        b, p_ref[b, k], uqs, u_last, blk0_ref, blk1_ref, blk_raw,
-        out_ref, bso0, bso1, sems, dp,
-    )
+    kk = pl.program_id(1)
+    rows_out = out_ref.shape[2] // r
+    for j in range(r):
+        k = kk * r + j
+        pos = pos_ref[0, j]  # [nq, 128]
+        uqs = [pos[oq : oq + 1, :] for oq in range(T // _LB)]
+        u_last = jnp.max(pos)  # positions are globally sorted
+        _resolve_tile(
+            b, p_ref[b, k], uqs, u_last, blks[2 * j], blks[2 * j + 1],
+            blk_raw, out_ref, bso0, bso1, sems, dp,
+            row0=j * rows_out, rows_out=rows_out,
+        )
 
 
 def _resolve_tile(
     b, start, uqs, u_last, blk0_ref, blk1_ref, blk_raw, out_ref,
-    bso0, bso1, sems, dp,
+    bso0, bso1, sems, dp, row0: int = 0, rows_out: int = None,
 ):
     """Shared tile body: prefetched pair + overflow window walk.
 
@@ -241,10 +254,14 @@ def _resolve_tile(
     output directly; the walk lives behind ``pl.when`` with the output
     block as its accumulator, so tiles that never overflow don't pay the
     loop-carried dataflow (measured ~2.5 ms of 25 at 8x1M — BENCH_NOTES
-    "Cost decomposition")."""
+    "Cost decomposition"). ``row0``/``rows_out`` select this tile's row
+    band of the output block (multi-tile instances write several bands).
+    """
     blk0 = blk0_ref[0, 0]
     blk1 = blk1_ref[0, 0]
-    rows_out = out_ref.shape[2]
+    if rows_out is None:
+        rows_out = out_ref.shape[2]
+    row1 = row0 + rows_out
     acc0 = jnp.zeros((rows_out, _LB), jnp.float32)
     acc1, covered0, pair_max0 = _pair_pick(
         blk0[:_CB],
@@ -257,7 +274,7 @@ def _resolve_tile(
         acc0,
         dp,
     )
-    out_ref[0, 0] = acc1
+    out_ref[0, 0, row0:row1] = acc1
 
     @pl.when(jnp.logical_not(covered0))
     def _walk():
@@ -277,9 +294,9 @@ def _resolve_tile(
             b1 = bso1[:]
             acc, covered, pair_max = _pair_pick(
                 b0[:_CB], b1[:_CB], b0[_CB:], b1[_CB:], uqs, u_last,
-                prev_last, out_ref[0, 0], dp,
+                prev_last, out_ref[0, 0, row0:row1], dp,
             )
-            out_ref[0, 0] = acc
+            out_ref[0, 0, row0:row1] = acc
             return widx + 2, pair_max, covered
 
         jax.lax.while_loop(
@@ -292,6 +309,18 @@ def _resolve_tile(
 def srg_supported(s: int, d: int) -> bool:
     """Static-shape gate for the fused kernels."""
     return s >= T and s % T == 0 and 1 <= d <= 512
+
+
+def _tiles_per_instance(k_tiles: int) -> int:
+    """Output tiles resolved per program instance (largest divisor of the
+    tile count up to VBN_SRG_TPI, default 4)."""
+    import os
+
+    cap = max(1, int(os.environ.get("VBN_SRG_TPI", "4")))
+    for r in range(min(cap, k_tiles), 0, -1):
+        if k_tiles % r == 0:
+            return r
+    return 1
 
 
 def _prep_blocks(cum: jax.Array, values: jax.Array):
@@ -383,22 +412,30 @@ def systematic_resample_gather(
     blocks, dp, rows = _prep_blocks(cum, values)
     nq = T // _LB
     rows_out = -(-(nq * dp) // 8) * 8
+    r = _tiles_per_instance(k_tiles)
+    in_specs = []
+    for j in range(r):
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, rows, _LB),
+                lambda bb, kk, u0r, pr, _j=j: (bb, pr[bb, kk * r + _j], 0, 0),
+            )
+        )
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, rows, _LB),
+                lambda bb, kk, u0r, pr, _j=j: (
+                    bb, pr[bb, kk * r + _j] + 1, 0, 0,
+                ),
+            )
+        )
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, k_tiles),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, rows, _LB),
-                lambda bb, kk, u0r, pr: (bb, pr[bb, kk], 0, 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, rows, _LB),
-                lambda bb, kk, u0r, pr: (bb, pr[bb, kk] + 1, 0, 0),
-            ),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
+        grid=(b, k_tiles // r),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 1, rows_out, _LB),
+            (1, 1, r * rows_out, _LB),
             lambda bb, kk, u0r, pr: (bb, kk, 0, 0),
         ),
         scratch_shapes=[
@@ -408,13 +445,14 @@ def systematic_resample_gather(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_srg_kernel, s=s, dp=dp),
+        functools.partial(_srg_kernel, s=s, dp=dp, r=r),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (b, k_tiles, rows_out, _LB), jnp.float32
+            (b, k_tiles // r, r * rows_out, _LB), jnp.float32
         ),
         interpret=interpret,
-    )(u0, p, blocks, blocks, blocks)
+    )(u0, p, *([blocks] * (2 * r)), blocks)
+    out = out.reshape(b, k_tiles, rows_out, _LB)
     return _unblock_out(out, b, s, dp, d).astype(values.dtype)
 
 
@@ -446,26 +484,31 @@ def sorted_gather(
     blocks, dp, rows = _prep_blocks(cum, values)
     nq = T // _LB
     rows_out = -(-(nq * dp) // 8) * 8
+    r = _tiles_per_instance(k_tiles)
     pos_blocks = pos.reshape(b, k_tiles, nq, _LB)
+    in_specs = [
+        pl.BlockSpec((1, r, nq, _LB), lambda bb, kk, pr: (bb, kk, 0, 0)),
+    ]
+    for j in range(r):
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, rows, _LB),
+                lambda bb, kk, pr, _j=j: (bb, pr[bb, kk * r + _j], 0, 0),
+            )
+        )
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, rows, _LB),
+                lambda bb, kk, pr, _j=j: (bb, pr[bb, kk * r + _j] + 1, 0, 0),
+            )
+        )
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, k_tiles),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, nq, _LB), lambda bb, kk, pr: (bb, kk, 0, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, rows, _LB),
-                lambda bb, kk, pr: (bb, pr[bb, kk], 0, 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, rows, _LB),
-                lambda bb, kk, pr: (bb, pr[bb, kk] + 1, 0, 0),
-            ),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
+        grid=(b, k_tiles // r),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 1, rows_out, _LB), lambda bb, kk, pr: (bb, kk, 0, 0)
+            (1, 1, r * rows_out, _LB), lambda bb, kk, pr: (bb, kk, 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((rows, _LB), jnp.float32),
@@ -474,13 +517,14 @@ def sorted_gather(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_spg_kernel, dp=dp),
+        functools.partial(_spg_kernel, dp=dp, r=r),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (b, k_tiles, rows_out, _LB), jnp.float32
+            (b, k_tiles // r, r * rows_out, _LB), jnp.float32
         ),
         interpret=interpret,
-    )(p, pos_blocks, blocks, blocks, blocks)
+    )(p, pos_blocks, *([blocks] * (2 * r)), blocks)
+    out = out.reshape(b, k_tiles, rows_out, _LB)
     return _unblock_out(out, b, s_out, dp, d).astype(values.dtype)
 
 
