@@ -39,6 +39,9 @@ class BenchmarkBundleSpec:
     evidence_modes: List[str] = field(
         default_factory=lambda: ["empty", "on_manifold", "off_manifold"]
     )
+    # Exact ground truth is exponential in treewidth; link-scale problems
+    # (the reference suite's 724/1041-node networks) run timing-only.
+    ground_truth: bool = True
 
     def to_dict(self) -> Dict:
         return dataclasses.asdict(self)

@@ -88,34 +88,26 @@ def stage_queries(bundle: BenchmarkBundle) -> None:
         gt_records: List[Dict] = []
         if spec.mode in ("inference", "both"):
             if isinstance(bn, CLGaussianBN):
-                queries = generate_clg_inference_queries(
-                    bn,
-                    n_queries=spec.n_queries,
-                    seed=spec.seed,
-                    evidence_modes=tuple(spec.evidence_modes),
-                )
-                gt = clg_ground_truth(bn, queries)
+                gen, gt_fn = generate_clg_inference_queries, clg_ground_truth
             elif isinstance(bn, GaussianBN):
-                queries = generate_gaussian_inference_queries(
-                    bn,
-                    n_queries=spec.n_queries,
-                    seed=spec.seed,
-                    evidence_modes=tuple(spec.evidence_modes),
+                gen, gt_fn = (
+                    generate_gaussian_inference_queries,
+                    gaussian_ground_truth,
                 )
-                gt = gaussian_ground_truth(bn, queries)
             else:
-                queries = generate_inference_queries(
-                    bn,
-                    n_queries=spec.n_queries,
-                    seed=spec.seed,
-                    evidence_modes=tuple(spec.evidence_modes),
-                )
-                gt = compute_ground_truth(bn, queries)
+                gen, gt_fn = generate_inference_queries, compute_ground_truth
+            queries = gen(
+                bn,
+                n_queries=spec.n_queries,
+                seed=spec.seed,
+                evidence_modes=tuple(spec.evidence_modes),
+            )
             write_jsonl(
                 os.path.join(qdir, "inference_queries.jsonl"),
                 [q.to_dict() for q in queries],
             )
-            gt_records += gt
+            if spec.ground_truth:
+                gt_records += gt_fn(bn, queries)
         if spec.mode in ("cpds", "both") and not isinstance(
             bn, (GaussianBN, CLGaussianBN)
         ):
