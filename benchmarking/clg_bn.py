@@ -360,3 +360,48 @@ def generate_clg_inference_queries(
         )
         qid += 1
     return queries
+
+
+def generate_clg_cpd_queries(bn: CLGaussianBN, n_queries: int = 64,
+                             seed: int = 0):
+    """CPD-mode queries: node + full parent assignment (mixed types)."""
+    from .query_gen import CPDQuery
+
+    rng = np.random.default_rng(seed)
+    manifold = bn.sample(max(n_queries, 128), seed=seed + 1)
+    out = []
+    for qid in range(n_queries):
+        node = bn.nodes[int(rng.integers(0, len(bn.nodes)))]
+        row = int(rng.integers(0, len(manifold[node])))
+        assign = {}
+        for p in bn.parents[node]:
+            if bn.types[p] == "discrete":
+                assign[p] = int(manifold[p][row])
+            else:
+                assign[p] = round(float(manifold[p][row]), 4)
+        out.append(
+            CPDQuery(
+                query_id=f"c{qid:05d}", node=node, parent_assignment=assign
+            )
+        )
+    return out
+
+
+def clg_cpd_ground_truth(bn: CLGaussianBN, queries) -> List[Dict]:
+    out = []
+    for q in queries:
+        rec: Dict = {"query_id": q.query_id, "node": q.node, "ok": True}
+        if bn.types[q.node] == "discrete":
+            cpt = np.asarray(bn.cpts[q.node])
+            idx = tuple(int(q.parent_assignment[p]) for p in bn.parents[q.node])
+            rec["probs"] = [float(v) for v in cpt[idx]]
+        else:
+            r = bn.regime_index(q.node, q.parent_assignment)
+            mean = float(bn.bias[q.node][r]) + sum(
+                float(w) * float(q.parent_assignment[p])
+                for w, p in zip(bn.weights[q.node][r], bn.cont_parents(q.node))
+            )
+            rec["mean"] = mean
+            rec["std"] = float(bn.sigma[q.node][r])
+        out.append(rec)
+    return out

@@ -231,3 +231,46 @@ def generate_gaussian_inference_queries(
         )
         qid += 1
     return queries
+
+
+def generate_gaussian_cpd_queries(bn: GaussianBN, n_queries: int = 64,
+                                  seed: int = 0):
+    """CPD-mode queries: node + on-manifold parent assignment (floats)."""
+    from .query_gen import CPDQuery
+
+    rng = np.random.default_rng(seed)
+    manifold = bn.sample(max(n_queries, 128), seed=seed + 1)
+    out = []
+    for qid in range(n_queries):
+        node = bn.nodes[int(rng.integers(0, len(bn.nodes)))]
+        row = int(rng.integers(0, len(manifold[node])))
+        out.append(
+            CPDQuery(
+                query_id=f"c{qid:05d}",
+                node=node,
+                parent_assignment={
+                    p: round(float(manifold[p][row]), 4)
+                    for p in bn.parents[node]
+                },
+            )
+        )
+    return out
+
+
+def gaussian_cpd_ground_truth(bn: GaussianBN, queries) -> List[Dict]:
+    out = []
+    for q in queries:
+        mean = bn.bias[q.node] + sum(
+            w * float(q.parent_assignment[p])
+            for w, p in zip(bn.weights[q.node], bn.parents[q.node])
+        )
+        out.append(
+            {
+                "query_id": q.query_id,
+                "node": q.node,
+                "mean": float(mean),
+                "std": float(bn.sigma[q.node]),
+                "ok": True,
+            }
+        )
+    return out

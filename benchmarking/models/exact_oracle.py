@@ -176,6 +176,47 @@ class ExactOracleModel(BaseBenchmarkModel):
         return ms
 
     def answer_cpd_query(self, query) -> Dict:
+        if self.gbn is not None or (
+            self.clg is not None and self.clg.types[query.node] == "continuous"
+        ):
+            def run_cont():
+                net = self.gbn if self.gbn is not None else self.clg
+                if self.gbn is not None:
+                    mean = net.bias[query.node] + sum(
+                        w * float(query.parent_assignment[p])
+                        for w, p in zip(
+                            net.weights[query.node], net.parents[query.node]
+                        )
+                    )
+                    return float(mean), float(net.sigma[query.node])
+                r = net.regime_index(query.node, query.parent_assignment)
+                mean = float(net.bias[query.node][r]) + sum(
+                    float(w) * float(query.parent_assignment[p])
+                    for w, p in zip(
+                        net.weights[query.node][r],
+                        net.cont_parents(query.node),
+                    )
+                )
+                return mean, float(net.sigma[query.node][r])
+
+            (mean, std), ms = self._timed(run_cont)
+            return {"ok": True, "mean": mean, "std": std, "timing_ms": ms}
+        if self.clg is not None:  # discrete CLG node
+            def run_clg():
+                cpt = np.asarray(self.clg.cpts[query.node])
+                idx = tuple(
+                    int(query.parent_assignment[p])
+                    for p in self.clg.parents[query.node]
+                )
+                return cpt[idx]
+
+            probs, ms = self._timed(run_clg)
+            return {
+                "ok": True,
+                "probs": [float(p) for p in probs],
+                "timing_ms": ms,
+            }
+
         def run():
             cpt = self.bn.cpts[query.node]
             idx = tuple(

@@ -90,11 +90,23 @@ class ReferenceVBNModel(BaseBenchmarkModel):
             else:
                 row = None
             cond = self.vbn.get_cpd(node).conditional(row)
-            return np.asarray(cond["probs"].detach()).reshape(-1)
+            if "probs" in cond:
+                return {"probs": np.asarray(cond["probs"].detach()).reshape(-1)}
+            ms = self.vbn.get_cpd(node).conditional_mean_std(row)
+            return {
+                "mean": float(np.asarray(ms["mean"]).ravel()[0]),
+                "std": float(np.asarray(ms["std"]).ravel()[0]),
+            }
 
         try:
-            probs, ms = self._timed(run)
-            return {"ok": True, "probs": [float(p) for p in probs], "timing_ms": ms}
+            res, ms = self._timed(run)
+            if "probs" in res:
+                return {
+                    "ok": True,
+                    "probs": [float(p) for p in res["probs"]],
+                    "timing_ms": ms,
+                }
+            return {"ok": True, "timing_ms": ms, **res}
         except Exception as exc:
             from ..errors import failure_record
 

@@ -112,28 +112,46 @@ class VBNTpuBenchmarkModel(BaseBenchmarkModel):
             # NO query — including a cold one-off — pays a compile. The
             # cost is reported separately as warmup_ms (setup, like fit).
             nodes = list(self.domain["nodes"])
-            dummy = {
-                "target": nodes[-1],
-                "evidence": {nodes[0]: np.zeros((1, 1), np.float32)},
-            }
+            # Mixed (clgaussian) domains serve discrete targets through the
+            # pmf program and continuous ones through the moments program:
+            # warm EVERY stream the domain can produce.
+            targets = []
+            disc = [n for n in nodes if not self._continuous_target(n)]
+            cont = [n for n in nodes if self._continuous_target(n)]
+            if disc:
+                targets.append(disc[-1])
+            if cont:
+                targets.append(cont[-1])
 
             def warm():
-                if self._continuous_target(dummy["target"]):
-                    fused = self.vbn.infer_posterior_moments(
-                        [dummy], pad_bucket=self.fused_bucket
-                    )
-                else:
-                    fused = self.vbn.infer_posterior_pmf(
-                        [dummy],
-                        n_classes=self._k_max(),
-                        pad_bucket=self.fused_bucket,
-                    )
-                if fused is None:
-                    np.asarray(
-                        self.vbn.infer_posterior_many(
-                            [dummy], pad_bucket=self.fused_bucket
-                        )[0][0]
-                    )
+                # Three rounds per stream: one to compile, two more because
+                # the TPU runtime reaches steady-state execution only after
+                # a few runs of a program (measured: 2nd execution pays ~6x
+                # the steady latency through the remote runtime).
+                for target in targets:
+                    ev_node = next(n for n in nodes if n != target)
+                    dummy = {
+                        "target": target,
+                        "evidence": {ev_node: np.zeros((1, 1), np.float32)},
+                    }
+                    for _ in range(3):
+                        if self._continuous_target(target):
+                            fused = self.vbn.infer_posterior_moments(
+                                [dummy], pad_bucket=self.fused_bucket
+                            )
+                        else:
+                            fused = self.vbn.infer_posterior_pmf(
+                                [dummy],
+                                n_classes=self._k_max(),
+                                pad_bucket=self.fused_bucket,
+                            )
+                        if fused is None:
+                            np.asarray(
+                                self.vbn.infer_posterior_many(
+                                    [dummy], pad_bucket=self.fused_bucket
+                                )[0][0]
+                            )
+                            break
 
             _, self.warmup_ms = self._timed(warm)
         return ms
@@ -153,6 +171,29 @@ class VBNTpuBenchmarkModel(BaseBenchmarkModel):
         node = query.node
         parents = self.domain["nodes"][node]["parents"]
         handle = self.vbn.get_cpd(node)
+        if self._continuous_target(node):
+            def run_cont():
+                row = (
+                    np.array(
+                        [[float(query.parent_assignment[p])
+                          for p in parents]],
+                        np.float32,
+                    )
+                    if parents
+                    else None
+                )
+                mean, std = handle.conditional_mean_std(row)
+                return float(np.asarray(mean).ravel()[0]), float(
+                    np.asarray(std).ravel()[0]
+                )
+
+            try:
+                (mean, std), ms = self._timed(run_cont)
+                return {"ok": True, "mean": mean, "std": std, "timing_ms": ms}
+            except Exception as exc:
+                from ..errors import failure_record
+
+                return failure_record(exc, context={"timing_ms": None})
 
         def run():
             if parents:

@@ -108,17 +108,33 @@ def stage_queries(bundle: BenchmarkBundle) -> None:
             )
             if spec.ground_truth:
                 gt_records += gt_fn(bn, queries)
-        if spec.mode in ("cpds", "both") and not isinstance(
-            bn, (GaussianBN, CLGaussianBN)
-        ):
-            cqueries = generate_cpd_queries(
-                bn, n_queries=spec.n_queries, seed=spec.seed
-            )
+        if spec.mode in ("cpds", "both"):
+            if isinstance(bn, CLGaussianBN):
+                from .clg_bn import (
+                    clg_cpd_ground_truth,
+                    generate_clg_cpd_queries,
+                )
+
+                cgen, cgt = generate_clg_cpd_queries, clg_cpd_ground_truth
+            elif isinstance(bn, GaussianBN):
+                from .gaussian_bn import (
+                    gaussian_cpd_ground_truth,
+                    generate_gaussian_cpd_queries,
+                )
+
+                cgen, cgt = (
+                    generate_gaussian_cpd_queries,
+                    gaussian_cpd_ground_truth,
+                )
+            else:
+                cgen, cgt = generate_cpd_queries, cpd_ground_truth
+            cqueries = cgen(bn, n_queries=spec.n_queries, seed=spec.seed)
             write_jsonl(
                 os.path.join(qdir, "cpd_queries.jsonl"),
                 [q.to_dict() for q in cqueries],
             )
-            gt_records += cpd_ground_truth(bn, cqueries)
+            if spec.ground_truth:
+                gt_records += cgt(bn, cqueries)
         write_jsonl(os.path.join(gdir, "ground_truth.jsonl"), gt_records)
 
 
