@@ -313,10 +313,14 @@ def srg_supported(s: int, d: int) -> bool:
 
 def _tiles_per_instance(k_tiles: int) -> int:
     """Output tiles resolved per program instance (largest divisor of the
-    tile count up to VBN_SRG_TPI, default 4)."""
+    tile count up to VBN_SRG_TPI). Default 1: the on-chip ablation
+    (BENCH_NOTES round 2, r2_batch2) measured IDENTICAL time at TPI
+    1/2/4/8 — per-instance grid overhead is NOT the kernel's bottleneck
+    (the serial rank-search probes are); the knob stays for future
+    experiments."""
     import os
 
-    cap = max(1, int(os.environ.get("VBN_SRG_TPI", "4")))
+    cap = max(1, int(os.environ.get("VBN_SRG_TPI", "1")))
     for r in range(min(cap, k_tiles), 0, -1):
         if k_tiles % r == 0:
             return r
