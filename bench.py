@@ -29,6 +29,8 @@ import time
 import numpy as np
 
 B = 256  # TPU serving batch (throughput-optimal; B=512 exceeds HBM)
+B_ASIA = 64  # asia has 8 nodes: the packed [B, S, 8] sweep at B=256 x 1M
+#              exceeds the 16G HBM; B=64 fits with headroom
 B_REF = 8  # reference's best batch — larger batches DEGRADE its q/s
 S = 1 << 20  # 1M particles
 REPS = 12
@@ -148,18 +150,23 @@ def bench_tpu_asia() -> float:
     vbn.fit({k: np.asarray(v, np.float32).reshape(-1, 1) for k, v in data.items()})
     vbn.set_inference_method("likelihood_weighting", n_samples=S)
     ev = {
-        "smoke": (np.arange(B) % 2).reshape(B, 1).astype(np.float32),
-        "asia": ((np.arange(B) // 2) % 2).reshape(B, 1).astype(np.float32),
+        "smoke": (np.arange(B_ASIA) % 2)
+        .reshape(B_ASIA, 1)
+        .astype(np.float32),
+        "asia": ((np.arange(B_ASIA) // 2) % 2)
+        .reshape(B_ASIA, 1)
+        .astype(np.float32),
     }
     query = {"target": "dysp", "evidence": ev}
     _sync(vbn.infer_posterior(query))  # compile
-    _sync(vbn.infer_posterior(query))  # warm
+    _sync(vbn.infer_posterior(query))  # warm (runtime steady state)
+    _sync(vbn.infer_posterior(query))
     t0 = time.perf_counter()
     out = None
     for _ in range(REPS):
         out = vbn.infer_posterior(query)
     _sync(out)
-    return (B * REPS) / (time.perf_counter() - t0)
+    return (B_ASIA * REPS) / (time.perf_counter() - t0)
 
 
 def bench_reference_cpu_asia() -> float:
