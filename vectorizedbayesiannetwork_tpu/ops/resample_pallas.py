@@ -11,31 +11,45 @@ This kernel exploits that systematic resampling is a *merge* of two sorted
 sequences — the particle CDF ``cum`` and the stratified positions
 ``u_j = (j + u0)/S`` — so ancestors are monotone in ``j``:
 
-- A cheap host-side ``searchsorted`` at the B*(S/T) tile boundaries (16k
-  queries, not 8M) yields each output tile's input-window pointer. The
-  pointers ride a scalar-prefetch grid spec, so Pallas's pipeline
-  double-buffers the data-dependent window DMAs like ordinary blocks and
-  the DMA latency is hidden.
+- Each output tile's input-window pointer comes from a tiny searchsorted
+  over the S/W per-window CDF maxima (``_window_pointers`` — a broadcast
+  compare-count, not a binary search over the full CDF). The pointers
+  ride a scalar-prefetch grid spec, so Pallas's pipeline double-buffers
+  the data-dependent window DMAs like ordinary blocks and the DMA latency
+  is hidden.
 - In-kernel, each position's ancestor *rank* inside its two-window pair
-  comes from a vectorized branchless binary search (10 probe steps over
-  the sorted 1024-row pair), and both the probes and the final value copy
-  use Mosaic's in-register shuffles (``tpu.dynamic_gather``): a lane
-  gather inside a 128-wide block plus a sublane gather across the pair's
-  8 blocks — bit-exact f32 copies, no MXU, no index materialization.
+  is resolved by an 8-ary HIERARCHY instead of a bit-by-bit binary
+  search: windows are pre-tiled into a transposed layout where the 8
+  consecutive entries of any "column" sit in the 8 sublanes of one lane,
+  so ONE in-register lane gather (``tpu.dynamic_gather``) fetches a
+  query's whole 8-candidate span and a sublane compare-count resolves 3
+  rank bits at once. Three stages cover the 1024-entry pair: a
+  broadcast compare against the 16 supercolumn maxima (4 bits, no
+  gather), one gather into the transposed column-maxima (3 bits), one
+  gather into the transposed CDF (3 bits). The earlier binary-search
+  form cost 7 serial two-gather probe rounds per 128 queries; gather
+  rounds measure ~15 VPU cycles each on v5e, so the hierarchy removes
+  ~70% of the search's cycle budget (BENCH_NOTES round-2 merge-kernel
+  section).
+- Values are stored in the same transposed layout, so the final copy is
+  one lane gather of the 8-entry span plus a 3-level sublane select
+  tree — bit-exact f32 copies, no MXU, no index materialization.
 - A tile whose ancestor span exceeds the prefetched pair (pathological
   weight crowds) falls back to a manual-DMA window walk in the same
   kernel; the ``prev_last`` ordering invariant keeps every output row
-  written exactly once.
+  written exactly once, and walk pointers clamp to the last real pair
+  (the final window holds cum == 1.0 > every position, so the walk
+  always terminates in range — no sentinel windows are materialized).
 
-Both the CDF and the values are reshaped (free, row-major) to
-window-blocked form ``[B, K, rows, 128]`` (window axis split onto
-sublane x lane tiles) so every DMA is a whole aligned window selected by
-leading-dim indices — Mosaic forbids unaligned slices of tiled trailing
-dims, and a short trailing dim would be physically lane-padded to 128.
+All per-window blocks live in one ``[B, K, rows, 128]`` array so every
+DMA is a whole aligned window selected by leading-dim indices — Mosaic
+forbids unaligned slices of tiled trailing dims, and a short trailing
+dim would be physically lane-padded to 128.
 
 Semantics match ``searchsorted(cum, u, side='right')`` exactly in f32 (the
 reference form in ``ops/resample.py`` computes the same ancestors via
-``ceil``/histogram up to fp rounding of the same predicate).
+``ceil``/histogram up to fp rounding of the same predicate; reference
+semantics: ``/root/reference/vbn/inference/resampled_importance_sampling.py:33-41``).
 """
 
 from __future__ import annotations
@@ -55,112 +69,179 @@ T = 512  # output positions per program instance
 W = 512  # input window rows (== T: a parked pointer has offset < W, so
 #          a two-window pair covers any non-crowded tile in one step)
 _LB = 128  # lane-block width (vreg lanes) for in-register gathers
-_CB = W // _LB  # lane-blocks per window
+_SC = 8  # supercolumns per window (64 entries each)
+_HDR = 16  # header rows per window block: 8 supercolumn-last broadcast
+#            rows + 8 transposed-CDF/column-last rows
+
+
+def _window_pointers(cum: jax.Array, queries: jax.Array) -> jax.Array:
+    """Window index of each query's first ancestor: searchsorted(cum, q,
+    'right') // W, computed WITHOUT searching the full [B, S] CDF.
+
+    ``a0 // W == #{j : cum[(j+1)W - 1] <= q}`` (every fully-below window
+    contributes W ranks), so the pointer is a searchsorted over the S/W
+    per-window maxima only. With ~2k windows and ~2k queries, a direct
+    broadcast compare-count (one fused reduction over ~4M bools per batch
+    row) beats XLA's gather-based binary search by ~50x at 8 x 1M
+    (measured 8.2 ms -> ~0.15 ms; the full-CDF form pays ~20 serial
+    rounds of random HBM gathers).
+    """
+    wm = cum[:, W - 1 :: W]  # [B, S/W] per-window maxima
+    p = jnp.sum(
+        wm[:, None, :] <= queries[:, :, None], axis=-1, dtype=jnp.int32
+    )
+    # Clamp so the prefetched pair (p, p+1) stays inside the real
+    # windows; positions are < 1.0 == cum[:, -1], so the final pair
+    # always covers any clamped query (the in-kernel ``prev_last`` guard
+    # makes re-scanned windows harmless).
+    return jnp.minimum(p, cum.shape[1] // W - 2).astype(jnp.int32)
+
+
+_QUANT = jnp.float32(2.0**22)
 
 
 def _norm_cum(weights: jax.Array) -> jax.Array:
     """Normalized inclusive CDF, shared by the fused kernels AND the XLA
-    reference paths so ancestor predicates stay bit-consistent. Uses the
-    single-pass Pallas cumsum (monotone variant) off-CPU."""
+    reference paths so ancestor predicates stay bit-consistent.
+
+    Normalized weights are rounded to exact multiples of 2**-22 first:
+    every partial sum is then exactly representable in f32 (multiples of
+    2**-22 below 4), so ANY summation grouping gives the same, exactly
+    nondecreasing CDF — the Pallas cumsum can skip its monotone max-scan
+    pass (half its cost), and total CDF error is <= 2**-22, far below
+    the ~1e-4 rounding drift a sequential f32 cumsum accumulates over
+    1M elements. Weights below 2**-23 of the total round to zero weight
+    (one quantum is 4e-7 of the CDF — orders below Monte-Carlo noise at
+    any supported particle count)."""
     w = weights.astype(jnp.float32)
+    if w.shape[1] <= 1 << 22:
+        # Quantized-exact path (uniform weights stay nonzero: 1/S >=
+        # 2**-22 here, and a quantum is re-normalized away below).
+        total = jnp.sum(w, axis=1, keepdims=True)
+        w = jnp.round(
+            w / jnp.maximum(total, 1e-20) * _QUANT
+        ) * (1.0 / _QUANT)
+        monotone = False
+    else:
+        monotone = True  # exactness bound (k + m <= 24 bits) would break
     if cumsum_available():
-        cum = cumsum_pallas(w, monotone=True)
+        cum = cumsum_pallas(w, monotone=monotone)
     else:
         cum = jnp.cumsum(w, axis=1)
     return cum / jnp.maximum(cum[:, -1:], 1e-20)
 
 
-def _fetch(pair, idx):
-    """pair [8, 128] (sorted window pair as 8 lane-blocks), idx [1, 128]
-    int32 in [0, 1024) -> pair values at idx, [1, 128].
-
-    Two single-vreg ``tpu.dynamic_gather``s: lanes within a block, then
-    sublanes across the pair's 8 blocks.
-    """
-    c8 = jnp.broadcast_to(idx >> 7, (8, _LB))
-    r8 = jnp.broadcast_to(idx & (_LB - 1), (8, _LB))
-    m = jnp.take_along_axis(pair, r8, axis=1, mode="promise_in_bounds")
-    g = jnp.take_along_axis(m, c8, axis=0, mode="promise_in_bounds")
-    return g[0:1, :]
-
-
-def _rank1024(cpair, uq):
-    """#{i in [0,1024): cpair_flat[i] <= uq} per lane, [1, 128] int32 in
-    [0, 1024].
-
-    Hierarchical: the pair is globally sorted, so the count of FULL
-    sublane rows below uq comes from one broadcast compare against each
-    row's last lane (no gathers) — that resolves the top 3 bits; a 7-step
-    branchless binary search inside the boundary row resolves the rest.
-    Saves 3 of the 10 serial two-gather probes of the flat search
-    (measured: the rank search is ~half the kernel, BENCH_NOTES.md
-    "Cost decomposition")."""
-    row_last = jnp.broadcast_to(cpair[:, _LB - 1 :], (_CB * 2, _LB))
-    full_rows = jnp.sum(
-        (row_last <= uq).astype(jnp.int32), axis=0, keepdims=True
-    )  # [1, 128] in [0, 8]
-    cnt = full_rows * _LB
-    in_range = full_rows < _CB * 2  # all-rows-below => rank is exactly 1024
-    bit = _LB // 2
-    while bit >= 1:
-        probe = jnp.minimum(cnt + (bit - 1), 2 * W - 1)
-        val = _fetch(cpair, probe)
-        cnt = cnt + jnp.where(
-            jnp.logical_and(val <= uq, in_range), bit, 0
-        ).astype(jnp.int32)
-        bit //= 2
-    return cnt
+def _value_pair(blk0, blk1, fidx):
+    """Feature ``fidx``'s transposed value pair, [8, 128]: column c holds
+    entries 8c..8c+7 of the pair (two features pack per 8-row block)."""
+    base = _HDR + 8 * (fidx // 2)
+    half = 64 * (fidx % 2)
+    return jnp.concatenate(
+        [
+            blk0[base : base + 8, half : half + 64],
+            blk1[base : base + 8, half : half + 64],
+        ],
+        axis=1,
+    )
 
 
-def _pair_pick(cw0, cw1, vw0, vw1, uqs, u_last, prev_last, acc, d8):
+def _sublane_pick(g, sa):
+    """g [8, 128]; sa [1, 128] int32 in [0, 8) -> g[sa[l], l] per lane.
+
+    3-level select tree (cheaper than a sublane ``dynamic_gather``:
+    gather rounds measure ~15 VPU cycles, the tree ~6)."""
+    t = jnp.where(jnp.broadcast_to(sa >= 4, (4, _LB)), g[4:8], g[0:4])
+    t = jnp.where(jnp.broadcast_to((sa & 2) > 0, (2, _LB)), t[2:4], t[0:2])
+    return jnp.where((sa & 1) > 0, t[1:2], t[0:1])
+
+
+def _pair_pick(blk0, blk1, uqs, u_last, prev_last, acc, d):
     """Resolve one two-window pair against the tile's positions.
 
-    cw0/cw1: [4, 128] CDF windows (lane-blocked); vw0/vw1: [d8*4, 128]
-    value windows (feature-major rows of 4 lane-blocks); uqs: list of
-    [1, 128] sorted position quarters; u_last/prev_last: scalars;
-    acc: quarter-blocked [rows_out, 128].
+    blk0/blk1: [rows, 128] hierarchical window blocks (see
+    ``_prep_blocks``); uqs: list of [1, 128] sorted position quarters;
+    u_last/prev_last: scalars; acc: quarter-blocked [rows_out, 128].
     Returns (acc', covered, pair_max).
+
+    Rank per query = #{pair entries <= u}, resolved 8-ary:
+    supercolumn count (broadcast compare, 4 bits) -> column count (one
+    gather into transposed column-lasts, 3 bits) -> entry count (one
+    gather into the transposed CDF, 3 bits).
     """
-    cpair = jnp.concatenate([cw0, cw1], axis=0)  # [8, 128]
+    scl = jnp.concatenate([blk0[0:_SC], blk1[0:_SC]], axis=0)  # [16,128]
+    colt = jnp.concatenate(
+        [blk0[_SC:_HDR, 0:64], blk1[_SC:_HDR, 0:64]], axis=1
+    )  # [8, 128] transposed CDF: column c = entries 8c..8c+7
+    clt = jnp.concatenate(
+        [
+            blk0[_SC:_HDR, 64:72],
+            blk1[_SC:_HDR, 64:72],
+            jnp.zeros((8, _LB - 16), jnp.float32),
+        ],
+        axis=1,
+    )  # [8, 128] transposed column-lasts in lanes 0:16 ([s, t] = last of
+    #    column 8t+s); zero-padded to a full vreg (Mosaic's dynamic_gather
+    #    requires indices shaped like the source)
     nq = T // _LB
     segs = []
     for oq in range(nq):
         uq = uqs[oq]  # [1, 128]
-        cnt = _rank1024(cpair, uq)
+        sc = jnp.sum(
+            (scl <= uq).astype(jnp.int32), axis=0, keepdims=True
+        )  # [1, 128] full supercolumns, in [0, 16]
+        in_range = sc < 2 * _SC
+        scc = jnp.minimum(sc, 2 * _SC - 1)
+        g1 = jnp.take_along_axis(
+            clt,
+            jnp.broadcast_to(scc, (8, _LB)),
+            axis=1,
+            mode="promise_in_bounds",
+        )  # [8, 128]: row s = column-last of column 8*scc + s
+        cc = jnp.sum((g1 <= uq).astype(jnp.int32), axis=0, keepdims=True)
+        # boundary supercolumn is not full => cc <= 7 when in_range
+        col = jnp.minimum(scc * 8 + cc, _LB - 1)
+        g2 = jnp.take_along_axis(
+            colt,
+            jnp.broadcast_to(col, (8, _LB)),
+            axis=1,
+            mode="promise_in_bounds",
+        )  # [8, 128]: row s = pair entry 8*col + s
+        f = jnp.sum((g2 <= uq).astype(jnp.int32), axis=0, keepdims=True)
+        rank = jnp.where(in_range, sc * 64 + cc * 8 + f, 2 * W)
         # found <=> ancestor in this pair: not before it (rows resolved
         # by an earlier pair fail prev_last <= u strictly) and not beyond.
-        found_q = jnp.logical_and(prev_last <= uq, cnt < 2 * W)
-        l_q = jnp.clip(cnt, 0, 2 * W - 1)
-        c8 = jnp.broadcast_to(l_q >> 7, (8, _LB))
-        r8 = jnp.broadcast_to(l_q & (_LB - 1), (8, _LB))
-        rows_q = []
-        for d in range(d8):
-            vd = jnp.concatenate(
-                [vw0[4 * d : 4 * d + 4], vw1[4 * d : 4 * d + 4]], axis=0
-            )  # [8, 128]: the pair's 8 lane-blocks of feature d
-            m = jnp.take_along_axis(
-                vd, r8, axis=1, mode="promise_in_bounds"
+        found_q = jnp.logical_and(prev_last <= uq, rank < 2 * W)
+        a = jnp.minimum(rank, 2 * W - 1)  # local ancestor index
+        ca = a >> 3
+        sa = a & 7
+        rows_q = [
+            _sublane_pick(
+                jnp.take_along_axis(
+                    _value_pair(blk0, blk1, fidx),
+                    jnp.broadcast_to(ca, (8, _LB)),
+                    axis=1,
+                    mode="promise_in_bounds",
+                ),
+                sa,
             )
-            g = jnp.take_along_axis(
-                m, c8, axis=0, mode="promise_in_bounds"
-            )
-            rows_q.append(g[0:1, :])  # [1, 128]
-        picked_q = jnp.concatenate(rows_q, axis=0)  # [d8, 128]
+            for fidx in range(d)
+        ]
+        picked_q = jnp.concatenate(rows_q, axis=0)  # [d, 128]
         segs.append(
             jnp.where(
                 found_q,
                 picked_q,
-                acc[oq * d8 : (oq + 1) * d8],
+                acc[oq * d : (oq + 1) * d],
             )
         )
-    # acc stays in quarter-blocked layout: rows [oq*d8 + d], lanes = the
+    # acc stays in quarter-blocked layout: rows [oq*d + f], lanes = the
     # position within the quarter — the same tiled form the output buffer
     # uses (a plain [.., T, D] pallas output with D < 128 would be
     # physically lane-padded 128/D-fold by Mosaic).
-    tail = acc[nq * d8 :]
+    tail = acc[nq * d :]
     acc = jnp.concatenate(segs + ([tail] if tail.shape[0] else []), axis=0)
 
-    pair_max = jnp.max(cpair)
+    pair_max = jnp.max(scl)  # == last pair entry (sorted)
     covered = pair_max > u_last
     return acc, covered, pair_max
 
@@ -168,19 +249,17 @@ def _pair_pick(cw0, cw1, vw0, vw1, uqs, u_last, prev_last, acc, d8):
 def _srg_kernel(
     u0_ref,  # SMEM [B, 1] f32 (scalar prefetch)
     p_ref,  # SMEM [B, K] int32 window pointers (scalar prefetch)
-    *args,  # 2r pipelined window refs [1, 1, 4*(dp+1), 128] (rows 0..4 =
-    #         CDF lane-blocks, rest = value lane-blocks), then the HBM
-    #         blocks (overflow walk), the [1, 1, r*rows_out, 128] output
-    #         block, VMEM overflow scratch x2, DMA semaphores (2,)
+    *args,  # 2r pipelined window refs [1, 1, rows, 128] (hierarchical
+    #         window blocks), then the HBM blocks (overflow walk), the
+    #         [1, 1, r*rows_out, 128] output block, VMEM overflow
+    #         scratch x2, DMA semaphores (2,)
     s: int,
-    dp: int,
+    d: int,
     r: int,
+    k_last: int,
 ):
-    """r output tiles per program instance: the per-instance fixed cost
-    (grid bookkeeping, pipeline bubbles) measured ~0.6 us/tile over 16k
-    tiles at 8x1M (~10 of 23 ms) — amortized r-fold by resolving r
-    consecutive tiles, each with its own prefetched window pair, in one
-    instance."""
+    """r output tiles per program instance (VBN_SRG_TPI; measured neutral
+    at 8x1M — the rank search, not grid overhead, bounds the kernel)."""
     blks = args[: 2 * r]
     blk_raw = args[2 * r]
     out_ref = args[2 * r + 1]
@@ -195,9 +274,8 @@ def _srg_kernel(
     )
     # Clamp below 1.0: at large S, (S-1+u0)/S can round UP to exactly 1.0
     # in f32, and since the normalized CDF ends at exactly 1.0 the merge
-    # walk would run into the padding pair and emit a zero particle. The
-    # clamp keeps the kernel bit-identical to the XLA reference (which
-    # clamps the same way).
+    # walk would never find the position. The clamp keeps the kernel
+    # bit-identical to the XLA reference (which clamps the same way).
     pos_max = jnp.float32(_POS_MAX)
     for j in range(r):
         k = kk * r + j
@@ -211,8 +289,8 @@ def _srg_kernel(
         uqs = [u[:, oq * _LB : (oq + 1) * _LB] for oq in range(T // _LB)]
         _resolve_tile(
             b, p_ref[b, k], uqs, u_last, blks[2 * j], blks[2 * j + 1],
-            blk_raw, out_ref, bso0, bso1, sems, dp,
-            row0=j * rows_out, rows_out=rows_out,
+            blk_raw, out_ref, bso0, bso1, sems, d,
+            row0=j * rows_out, rows_out=rows_out, k_last=k_last,
         )
 
 
@@ -221,8 +299,9 @@ def _spg_kernel(
     *args,  # positions block [1, r, nq, 128], then 2r pipelined window
     #         refs, HBM blocks, output [1, 1, r*rows_out, 128], scratch,
     #         semaphores — see _srg_kernel
-    dp: int,
+    d: int,
     r: int,
+    k_last: int,
 ):
     pos_ref = args[0]
     blks = args[1 : 1 + 2 * r]
@@ -239,47 +318,41 @@ def _spg_kernel(
         u_last = jnp.max(pos)  # positions are globally sorted
         _resolve_tile(
             b, p_ref[b, k], uqs, u_last, blks[2 * j], blks[2 * j + 1],
-            blk_raw, out_ref, bso0, bso1, sems, dp,
-            row0=j * rows_out, rows_out=rows_out,
+            blk_raw, out_ref, bso0, bso1, sems, d,
+            row0=j * rows_out, rows_out=rows_out, k_last=k_last,
         )
 
 
 def _resolve_tile(
     b, start, uqs, u_last, blk0_ref, blk1_ref, blk_raw, out_ref,
-    bso0, bso1, sems, dp, row0: int = 0, rows_out: int = None,
+    bso0, bso1, sems, d, row0: int, rows_out: int, k_last: int,
 ):
     """Shared tile body: prefetched pair + overflow window walk.
 
     The common case (the prefetched pair covers the tile) writes the
     output directly; the walk lives behind ``pl.when`` with the output
     block as its accumulator, so tiles that never overflow don't pay the
-    loop-carried dataflow (measured ~2.5 ms of 25 at 8x1M — BENCH_NOTES
-    "Cost decomposition"). ``row0``/``rows_out`` select this tile's row
+    loop-carried dataflow. ``row0``/``rows_out`` select this tile's row
     band of the output block (multi-tile instances write several bands).
+    Walk pointers clamp to ``k_last`` (== K-2): the final real pair holds
+    cum == 1.0, so it covers every remaining position and the loop
+    terminates in range; re-scanned windows are excluded by the
+    ``prev_last`` ordering guard.
     """
     blk0 = blk0_ref[0, 0]
     blk1 = blk1_ref[0, 0]
-    if rows_out is None:
-        rows_out = out_ref.shape[2]
     row1 = row0 + rows_out
     acc0 = jnp.zeros((rows_out, _LB), jnp.float32)
     acc1, covered0, pair_max0 = _pair_pick(
-        blk0[:_CB],
-        blk1[:_CB],
-        blk0[_CB:],
-        blk1[_CB:],
-        uqs,
-        u_last,
-        jnp.float32(-2.0),
-        acc0,
-        dp,
+        blk0, blk1, uqs, u_last, jnp.float32(-2.0), acc0, d
     )
     out_ref[0, 0, row0:row1] = acc1
 
     @pl.when(jnp.logical_not(covered0))
     def _walk():
         def overflow(carry):
-            widx, prev_last, _cov = carry
+            step, prev_last, _cov = carry
+            widx = jnp.minimum(step, k_last)
             copies = [
                 pltpu.make_async_copy(blk_raw.at[b, widx], bso0, sems.at[0]),
                 pltpu.make_async_copy(
@@ -290,17 +363,21 @@ def _resolve_tile(
                 c.start()
             for c in copies:
                 c.wait()
-            b0 = bso0[:]
-            b1 = bso1[:]
             acc, covered, pair_max = _pair_pick(
-                b0[:_CB], b1[:_CB], b0[_CB:], b1[_CB:], uqs, u_last,
-                prev_last, out_ref[0, 0, row0:row1], dp,
+                bso0[:], bso1[:], uqs, u_last, prev_last,
+                out_ref[0, 0, row0:row1], d,
             )
             out_ref[0, 0, row0:row1] = acc
-            return widx + 2, pair_max, covered
+            return step + 2, pair_max, covered
 
+        # The clamp guarantees the loop reaches the final real pair
+        # (pair_max == 1.0 > every clamped position) — the step bound is
+        # pure defense so a miscompiled/NaN predicate can never livelock
+        # the chip (a wedged kernel takes the whole TPU grant with it).
         jax.lax.while_loop(
-            lambda c: jnp.logical_not(c[2]),
+            lambda c: jnp.logical_and(
+                jnp.logical_not(c[2]), c[0] <= k_last + 2
+            ),
             overflow,
             (start + 2, pair_max0, covered0),
         )
@@ -314,10 +391,9 @@ def srg_supported(s: int, d: int) -> bool:
 def _tiles_per_instance(k_tiles: int) -> int:
     """Output tiles resolved per program instance (largest divisor of the
     tile count up to VBN_SRG_TPI). Default 1: the on-chip ablation
-    (BENCH_NOTES round 2, r2_batch2) measured IDENTICAL time at TPI
-    1/2/4/8 — per-instance grid overhead is NOT the kernel's bottleneck
-    (the serial rank-search probes are); the knob stays for future
-    experiments."""
+    (BENCH_NOTES round 2) measured IDENTICAL time at TPI 1/2/4/8 —
+    per-instance grid overhead is NOT the kernel's bottleneck (the rank
+    search is); the knob stays for future experiments."""
     import os
 
     cap = max(1, int(os.environ.get("VBN_SRG_TPI", "1")))
@@ -328,51 +404,59 @@ def _tiles_per_instance(k_tiles: int) -> int:
 
 
 def _prep_blocks(cum: jax.Array, values: jax.Array):
-    """Window-block the CDF + values into one [B, K, rows, 128] array.
+    """Hierarchical window blocks, one [B, K, rows, 128] array.
 
-    Pads two spare windows (CDF = 2.0 > any position) so window pairs and
-    the overflow walk always stay inside the array, pads the feature dim
-    to the next ODD count (rows = 4*(dp+1) must be a multiple of the
-    sublane tile 8; an 8-row pad would multiply the dominant array by up
-    to 8x), and lane-blocks both (windows as 4 rows x 128 lanes).
+    Per window (W=512 entries), rows are:
+      0:8    supercolumn-lasts broadcast (8 supercolumns of 64 entries,
+             each last value replicated across 128 lanes — stage-0
+             compares need no gathers)
+      8:16   lanes 0:64 = transposed CDF (column c = entries 8c..8c+7
+             down the sublanes); lanes 64:72 = transposed column-lasts
+             ([s, t] = last of column 8t+s); lanes 72:128 = zero pad
+      16:..  transposed values, two features per 8-row block (feature
+             2i at lanes 0:64, 2i+1 at 64:128)
+
+    No sentinel windows: pointers/walks clamp to the last real pair
+    (whose final entry is cum == 1.0 > every position).
     """
-    b, s_in = cum.shape
+    b, s = cum.shape
     d = values.shape[-1]
-    cum = jnp.concatenate(
-        [cum, jnp.full((b, 2 * W), 2.0, jnp.float32)], axis=1
+    kw = s // W
+    scb = jnp.broadcast_to(
+        cum[:, 63::64].reshape(b, kw, _SC, 1), (b, kw, _SC, _LB)
     )
-    dp = d if d % 2 == 1 else d + 1
-    vals = jnp.concatenate(
-        [
-            values.astype(jnp.float32),
-            jnp.zeros((b, s_in, dp - d), jnp.float32),
-        ],
-        axis=2,
+    colt = cum.reshape(b, kw, 64, 8).transpose(0, 1, 3, 2)  # [b,kw,8,64]
+    clt = (
+        cum[:, 7::8].reshape(b, kw, _SC, 8).transpose(0, 1, 3, 2)
+    )  # [b,kw,8,8]: [.., s, t] = last of column 8t+s
+    hdr = jnp.concatenate(
+        [colt, clt, jnp.zeros((b, kw, 8, 56), jnp.float32)], axis=3
     )
-    vals = jnp.concatenate(
-        [vals, jnp.zeros((b, 2 * W, dp), jnp.float32)], axis=1
+    dd = d + (d % 2)
+    v = values.astype(jnp.float32)
+    if dd != d:
+        v = jnp.concatenate(
+            [v, jnp.zeros((b, s, dd - d), jnp.float32)], axis=2
+        )
+    vt = (
+        v.reshape(b, kw, 64, 8, dd // 2, 2)
+        .transpose(0, 1, 4, 3, 5, 2)  # [b,kw,dd/2,8,2,64]
+        .reshape(b, kw, (dd // 2) * 8, _LB)
     )
-    kw = (s_in + 2 * W) // W
-    cum = cum.reshape(b, kw, _CB, _LB)
-    vals = (
-        vals.reshape(b, kw, _CB, _LB, dp)
-        .transpose(0, 1, 4, 2, 3)
-        .reshape(b, kw, dp * _CB, _LB)
-    )
-    rows = _CB + dp * _CB
-    assert rows % 8 == 0, rows
-    return jnp.concatenate([cum, vals], axis=2), dp, rows
+    blocks = jnp.concatenate([scb, hdr, vt], axis=2)
+    rows = _HDR + (dd // 2) * 8
+    return blocks, rows
 
 
-def _unblock_out(out: jax.Array, b: int, s_out: int, dp: int, d: int):
+def _unblock_out(out: jax.Array, b: int, s_out: int, d: int):
     """[B, K, rows_out, 128] quarter-blocked -> [B, S_out, d]."""
     nq = T // _LB
     k_tiles = s_out // T
     return (
-        out[:, :, : nq * dp]
-        .reshape(b, k_tiles, nq, dp, _LB)
+        out[:, :, : nq * d]
+        .reshape(b, k_tiles, nq, d, _LB)
         .transpose(0, 1, 2, 4, 3)
-        .reshape(b, s_out, dp)[..., :d]
+        .reshape(b, s_out, d)
     )
 
 
@@ -396,8 +480,8 @@ def systematic_resample_gather(
     inv_s = jnp.float32(1.0 / s)
 
     # Per-tile window pointers: the block of each tile's first ancestor.
-    # Tiny searchsorted (B * S/T queries) — same f32 position formula as
-    # the kernel, so ranks are consistent bit-for-bit.
+    # Same f32 position formula as the kernel, so ranks are consistent
+    # bit-for-bit.
     k_tiles = s // T
     u_grid = jnp.minimum(
         (
@@ -408,14 +492,11 @@ def systematic_resample_gather(
         + u0 * inv_s,
         jnp.float32(_POS_MAX),
     )
-    a0 = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(
-        cum, u_grid
-    )
-    p = (a0 // W).astype(jnp.int32)  # [B, K] in [0, S/W]
+    p = _window_pointers(cum, u_grid)  # [B, K] in [0, S/W - 2]
 
-    blocks, dp, rows = _prep_blocks(cum, values)
+    blocks, rows = _prep_blocks(cum, values)
     nq = T // _LB
-    rows_out = -(-(nq * dp) // 8) * 8
+    rows_out = -(-(nq * d) // 8) * 8
     r = _tiles_per_instance(k_tiles)
     in_specs = []
     for j in range(r):
@@ -449,7 +530,9 @@ def systematic_resample_gather(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_srg_kernel, s=s, dp=dp, r=r),
+        functools.partial(
+            _srg_kernel, s=s, d=d, r=r, k_last=s // W - 2
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (b, k_tiles // r, r * rows_out, _LB), jnp.float32
@@ -457,7 +540,7 @@ def systematic_resample_gather(
         interpret=interpret,
     )(u0, p, *([blocks] * (2 * r)), blocks)
     out = out.reshape(b, k_tiles, rows_out, _LB)
-    return _unblock_out(out, b, s, dp, d).astype(values.dtype)
+    return _unblock_out(out, b, s, d).astype(values.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -481,13 +564,10 @@ def sorted_gather(
     assert srg_supported(s_in, d) and s_out % T == 0 and s_out >= T
     pos = jnp.clip(pos.astype(jnp.float32), 0.0, _POS_MAX)
     k_tiles = s_out // T
-    a0 = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(
-        cum, pos[:, ::T]
-    )
-    p = (a0 // W).astype(jnp.int32)
-    blocks, dp, rows = _prep_blocks(cum, values)
+    p = _window_pointers(cum, pos[:, ::T])
+    blocks, rows = _prep_blocks(cum, values)
     nq = T // _LB
-    rows_out = -(-(nq * dp) // 8) * 8
+    rows_out = -(-(nq * d) // 8) * 8
     r = _tiles_per_instance(k_tiles)
     pos_blocks = pos.reshape(b, k_tiles, nq, _LB)
     in_specs = [
@@ -521,7 +601,7 @@ def sorted_gather(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_spg_kernel, dp=dp, r=r),
+        functools.partial(_spg_kernel, d=d, r=r, k_last=s_in // W - 2),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (b, k_tiles // r, r * rows_out, _LB), jnp.float32
@@ -529,7 +609,7 @@ def sorted_gather(
         interpret=interpret,
     )(p, pos_blocks, *([blocks] * (2 * r)), blocks)
     out = out.reshape(b, k_tiles, rows_out, _LB)
-    return _unblock_out(out, b, s_out, dp, d).astype(values.dtype)
+    return _unblock_out(out, b, s_out, d).astype(values.dtype)
 
 
 def sorted_gather_xla(
