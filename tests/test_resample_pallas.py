@@ -84,6 +84,44 @@ def test_supported_gate():
     assert srg_supported(2048, 5)
     assert not srg_supported(100, 5)  # S not a tile multiple
     assert not srg_supported(2048, 1024)  # D too wide
+    # Single-window S=512 has no (p, p+1) prefetch pair: the kernel
+    # clamps every window pointer to -1 and silently gathers garbage
+    # (round-2 advisor finding, maxerr ~6.2 vs the XLA reference), so
+    # the gate must route it to the XLA fallback.
+    assert not srg_supported(512, 5)
+
+
+def test_single_window_sizes_fall_back_correct():
+    """S=512 (and the S=1024 two-window minimum) resample correctly.
+
+    S=512 goes through the XLA fallback (gate above); S=1024 is the
+    smallest kernel-supported size and must match the XLA reference.
+    """
+    from vectorizedbayesiannetwork_tpu.ops.resample_pallas import (
+        sorted_gather,
+        sorted_gather_xla,
+        srg_supported as gate,
+    )
+
+    key = jax.random.PRNGKey(11)
+    for s in (512, 1024):
+        w = jax.random.dirichlet(
+            jax.random.fold_in(key, s), jnp.ones((s,)) * 0.3, shape=(2,)
+        )
+        cum = _norm_cum(w)
+        pos = jnp.sort(
+            jax.random.uniform(jax.random.fold_in(key, s + 1), (2, s)), axis=1
+        )
+        vals = jax.random.normal(
+            jax.random.fold_in(key, s + 2), (2, s, 3)
+        )
+        want = sorted_gather_xla(cum, pos, vals)
+        if gate(s, 3):
+            got = sorted_gather(cum, pos, vals, interpret=True)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        else:
+            assert s == 512  # documented fallback size
+        assert np.isfinite(np.asarray(want)).all()
 
 
 def _norm_cum(w):

@@ -77,6 +77,20 @@ def cast_value(value: Any, kind: str, key: str = "?") -> Any:
         if not isinstance(value, (list, tuple)):
             raise _bad(key, value, "list")
         return [cast_value(item, inner, key) for item in value]
+    if kind == "float_or_str":
+        # numeric -> float; non-numeric strings name a selection rule
+        # (e.g. kde bandwidth "scott"); None defers to the constructor.
+        if value is None:
+            return None
+        if isinstance(value, str):
+            try:
+                return float(value.strip())
+            except ValueError:
+                return value.strip()
+        try:
+            return float(value)
+        except Exception as exc:
+            raise _bad(key, value, kind) from exc
     if kind in ("int", "float"):
         if isinstance(value, str):
             try:
@@ -142,8 +156,8 @@ CPD_SCHEMAS: Dict[str, Dict[str, str]] = {
     },
     "mdn": {"n_components": "int", **_MLP_KEYS, "min_scale": "float"},
     "kde": {
-        "bandwidth": "float",
-        "parent_bandwidth": "float",
+        "bandwidth": "float_or_str",
+        "parent_bandwidth": "float_or_str",
         "max_points": "int",
         "min_scale": "float",
     },

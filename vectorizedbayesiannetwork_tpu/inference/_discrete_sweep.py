@@ -168,27 +168,79 @@ def discrete_sweep_trace(
     if use_onehot:
         pad_rows = jnp.full((pstates_max, cmax), -1e30, log_cpt.dtype)
         log_cpt = jnp.concatenate([log_cpt, pad_rows], axis=0)
+    # Lane-padding guard (round-2 OOM class, VERDICT.md): any materialized
+    # [B, S, cmax] with cmax < 128 tile-pads cmax -> 128 lanes, and the
+    # RNG / dot / gather ops below are materialization points. When the
+    # padded projection is large, restructure the step as a STATIC loop
+    # over classes with [B, S]-shaped operands only (inverse-CDF sampling
+    # replaces Gumbel-argmax; per-class selects replace the one-hot dots).
+    class_loop = cmax < 128 and b * s * 128 * 4 > (1 << 31)
+    # Within the class loop the per-row table lookup is a select chain
+    # (P ops/class); past this budget, fall back to one gather per class.
+    select_rows = class_loop and pstates_max * cmax <= 2048
 
     def step(carry, inp):
         states, logw, lpt = carry
         i, skey = inp
         pids = jax.lax.dynamic_index_in_dim(parent_ids, i, 0, False)  # [Pmax]
         strd = jax.lax.dynamic_index_in_dim(strides, i, 0, False)
-        pvals = jnp.take(states, pids, axis=-1)  # [B, S, Pmax]
-        pidx = jnp.sum(pvals * strd[None, None, :], axis=-1)  # [B, S]
-        if use_onehot:
-            table_i = jax.lax.dynamic_slice(
-                log_cpt, (row_offset[i], 0), (pstates_max, cmax)
-            )  # [Pstates, Cmax]
-            sel = jax.nn.one_hot(pidx, pstates_max, dtype=log_cpt.dtype)
-            logits = jnp.einsum(
-                "bsp,pc->bsc", sel, table_i,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+        pmax = parent_ids.shape[1]
+        if class_loop:
+            # [B, S, Pmax] with Pmax < 128 lane-pads; per-slot [B, S] loop
+            pidx = jnp.zeros((b, s), jnp.int32)
+            for pslot in range(pmax):
+                col = jnp.take(states, pids[pslot], axis=-1)  # [B, S]
+                pidx = pidx + col * strd[pslot]
         else:
-            logits = log_cpt[row_offset[i] + pidx]  # [B, S, Cmax] gather
-        g = jax.random.gumbel(skey, (b, s, cmax), dtype=jnp.float32)
-        sampled = jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
+            pvals = jnp.take(states, pids, axis=-1)  # [B, S, Pmax]
+            pidx = jnp.sum(pvals * strd[None, None, :], axis=-1)  # [B, S]
+        if class_loop:
+            if use_onehot:
+                table_i = jax.lax.dynamic_slice(
+                    log_cpt, (row_offset[i], 0), (pstates_max, cmax)
+                )  # [Pstates, Cmax]
+
+                if select_rows:
+                    def lp_col(j):
+                        acc = jnp.where(pidx == 0, table_i[0, j], -1e30)
+                        for r in range(1, pstates_max):
+                            acc = jnp.where(pidx == r, table_i[r, j], acc)
+                        return acc  # [B, S]
+                else:
+                    def lp_col(j):
+                        return jnp.take(table_i[:, j], pidx)  # [B, S]
+            else:
+                rows = row_offset[i] + pidx  # [B, S]
+
+                def lp_col(j):
+                    return jnp.take(log_cpt[:, j], rows)  # [B, S]
+
+            lps = [lp_col(j) for j in range(cmax)]
+            probs = [jnp.exp(lp) for lp in lps]
+            total = probs[0]
+            for j in range(1, cmax):
+                total = total + probs[j]
+            u = jax.random.uniform(skey, (b, s), dtype=jnp.float32)
+            thresh = u * total
+            cum = probs[0]
+            sampled = jnp.zeros((b, s), jnp.int32)
+            for j in range(1, cmax):
+                sampled = sampled + (cum <= thresh).astype(jnp.int32)
+                cum = cum + probs[j]
+        else:
+            if use_onehot:
+                table_i = jax.lax.dynamic_slice(
+                    log_cpt, (row_offset[i], 0), (pstates_max, cmax)
+                )  # [Pstates, Cmax]
+                sel = jax.nn.one_hot(pidx, pstates_max, dtype=log_cpt.dtype)
+                logits = jnp.einsum(
+                    "bsp,pc->bsc", sel, table_i,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            else:
+                logits = log_cpt[row_offset[i] + pidx]  # [B, S, Cmax] gather
+            g = jax.random.gumbel(skey, (b, s, cmax), dtype=jnp.float32)
+            sampled = jnp.argmax(logits + g, axis=-1).astype(jnp.int32)
         fixed_i = fixed_idx[:, i][:, None]  # [B, 1]
         fx_i = jax.lax.dynamic_index_in_dim(fx_mask, i, 0, False)  # [B]|[1]
         value = jnp.where(fx_i[:, None], fixed_i, sampled)  # [B, S]
@@ -197,8 +249,13 @@ def discrete_sweep_trace(
             states, value, i, axis=-1
         )
         if weighted or tg_mask is not None:
-            vsel = jax.nn.one_hot(value, cmax, dtype=logits.dtype)
-            lp_val = jnp.sum(vsel * logits, axis=-1)
+            if class_loop:
+                lp_val = jnp.where(value == 0, lps[0], 0.0)
+                for j in range(1, cmax):
+                    lp_val = lp_val + jnp.where(value == j, lps[j], 0.0)
+            else:
+                vsel = jax.nn.one_hot(value, cmax, dtype=logits.dtype)
+                lp_val = jnp.sum(vsel * logits, axis=-1)
             if weighted:
                 ev_i = jax.lax.dynamic_index_in_dim(ev_mask, i, 0, False)
                 logw = constrain_bs(

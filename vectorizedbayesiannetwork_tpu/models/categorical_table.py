@@ -371,15 +371,40 @@ class CategoricalTableCPD(BaseCPD):
                 )
 
     # -- index mapping (vectorized masked comparison-count) -------------------
+    #
+    # TPU lane-padding rule (the round-2 HBM OOM, VERDICT.md): any
+    # materialized array whose trailing dim k satisfies 1 < k < 128
+    # tile-pads k -> 128 lanes under the T(8,128) layout, and gathers /
+    # RNG ops are fusion boundaries that DO materialize. At M = B*S in
+    # the tens of millions a [M, 2] gather output becomes a 64x HBM
+    # blow-up (f32[201326592,2] -> 96 GiB on a 16 GiB chip). So for
+    # small class counts every hot-path op below is restructured as a
+    # STATIC Python loop over classes with [M]-shaped operands only —
+    # no trailing dim between 2 and 127 ever reaches HBM.
+    _LANE = 128
+
     def _parents_to_index(self, params: Params, parents: jax.Array) -> jax.Array:
         """[M, Din] float values -> [M] mixed-radix parent state index."""
         if self.input_dim == 0:
             return jnp.zeros((parents.shape[0],), jnp.int32)
         pv = params["parent_values"]  # [Din, K]
         pm = params["parent_mask"]
+        k = pv.shape[-1]
+        strides = self._strides
+        if 1 < k < self._LANE:
+            # static per-value loop: [M]-shaped comparisons only
+            idx = jnp.zeros((parents.shape[0],), jnp.int32)
+            for d in range(self.input_dim):
+                col = parents[:, d]
+                cnt = jnp.zeros_like(idx)
+                for j in range(k):
+                    hit = (pv[d, j] < col) & pm[d, j]
+                    cnt = cnt + hit.astype(jnp.int32)
+                idx = idx + cnt * int(strides[d])
+            return idx
         less = (pv[None, :, :] < parents[:, :, None]) & pm[None, :, :]
         idx_d = jnp.sum(less, axis=-1).astype(jnp.int32)  # [M, Din]
-        strides = jnp.asarray(self._strides, jnp.int32)
+        strides = jnp.asarray(strides, jnp.int32)
         return jnp.sum(idx_d * strides[None, :], axis=-1)
 
     def _targets_to_index(self, params: Params, x: jax.Array) -> jax.Array:
@@ -417,20 +442,101 @@ class CategoricalTableCPD(BaseCPD):
         """[Dout, C] class values (categorical_exact / RB support grid)."""
         return params["class_values"]
 
+    _SELECT_ROWS = 64  # below this many CPT rows, select beats a gather
+
+    def _count_col(self, params, pidx, d: int, j: int):
+        """Class-``j`` count column for output dim ``d``: [M] (or scalar root).
+
+        For small CPTs the row lookup is a static per-row select chain
+        ([M]-shaped wheres) instead of a vector gather — TPU gathers run
+        on the scalar core and dominate the sweep at M in the tens of
+        millions, while the select chain is pure VPU work that XLA CSEs
+        across the repeated per-class calls.
+        """
+        cnt_d = params["counts"][d]  # [P, C]
+        if pidx is None:
+            return cnt_d[0, j]
+        p_rows = cnt_d.shape[0]
+        # cap total trace size: the select chain costs P ops per class and
+        # is CSE'd to ~C*P ops per node — beyond that, one gather per class
+        if p_rows <= self._SELECT_ROWS and p_rows * cnt_d.shape[1] <= 2048:
+            acc = jnp.where(pidx == 0, cnt_d[0, j], 0.0)
+            for r in range(1, p_rows):
+                acc = acc + jnp.where(pidx == r, cnt_d[r, j], 0.0)
+            return acc
+        return jnp.take(cnt_d[:, j], pidx)
+
     def _sample_flat(self, params, key, parents, m):
-        lp = self._log_probs(params, parents, m)  # [M, Dout, C]
-        mask = params["class_mask"][None]  # [1, Dout, C]
-        g = jax.random.gumbel(key, lp.shape, dtype=lp.dtype)
-        scores = jnp.where(mask, lp + g, -jnp.inf)
-        idx = jnp.argmax(scores, axis=-1)  # [M, Dout]
+        c = params["counts"].shape[-1]
+        if not 1 < c < self._LANE:
+            lp = self._log_probs(params, parents, m)  # [M, Dout, C]
+            mask = params["class_mask"][None]  # [1, Dout, C]
+            g = jax.random.gumbel(key, lp.shape, dtype=lp.dtype)
+            scores = jnp.where(mask, lp + g, -jnp.inf)
+            idx = jnp.argmax(scores, axis=-1)  # [M, Dout]
+            cv = params["class_values"]  # [Dout, C]
+            sel = jax.nn.one_hot(idx, cv.shape[-1], dtype=cv.dtype)
+            return jnp.einsum("mdc,dc->md", sel, cv)
+        # Small-C inverse-CDF sampling as a static per-class loop over
+        # [M]-shaped arrays (see lane-padding note above). Masked-out
+        # classes carry zero counts, so the CDF walk skips them.
+        pidx = (
+            self._parents_to_index(params, parents)
+            if self.input_dim > 0
+            else None
+        )
         cv = params["class_values"]  # [Dout, C]
-        sel = jax.nn.one_hot(idx, cv.shape[-1], dtype=cv.dtype)
-        return jnp.einsum("mdc,dc->md", sel, cv)
+        keys = jax.random.split(key, self.output_dim)
+        cols = []
+        for d in range(self.output_dim):
+            total = self._count_col(params, pidx, d, 0)
+            for j in range(1, c):
+                total = total + self._count_col(params, pidx, d, j)
+            u = jax.random.uniform(keys[d], (m,), dtype=jnp.float32)
+            thresh = u * total  # in [0, total)
+            cum = self._count_col(params, pidx, d, 0)
+            idx = jnp.zeros((m,), jnp.int32)
+            for j in range(1, c):
+                idx = idx + (cum <= thresh).astype(jnp.int32)
+                cum = cum + self._count_col(params, pidx, d, j)
+            val = jnp.zeros((m,), cv.dtype)
+            for j in range(c):
+                val = val + jnp.where(idx == j, cv[d, j], 0.0)
+            cols.append(val)
+        return jnp.stack(cols, axis=-1)
 
     def _log_prob_flat(self, params, x, parents):
         m = x.shape[0]
-        lp = self._log_probs(params, parents, m)
-        tidx = self._targets_to_index(params, x)  # [M, Dout]
-        sel = jax.nn.one_hot(tidx, lp.shape[-1], dtype=lp.dtype)
-        picked = jnp.sum(sel * lp, axis=-1)
-        return jnp.sum(picked, axis=-1)
+        c = params["counts"].shape[-1]
+        if not 1 < c < self._LANE:
+            lp = self._log_probs(params, parents, m)
+            tidx = self._targets_to_index(params, x)  # [M, Dout]
+            sel = jax.nn.one_hot(tidx, lp.shape[-1], dtype=lp.dtype)
+            picked = jnp.sum(sel * lp, axis=-1)
+            return jnp.sum(picked, axis=-1)
+        # Small-C static loop: per-class [M]-shaped selects, no [M, C].
+        pidx = (
+            self._parents_to_index(params, parents)
+            if self.input_dim > 0
+            else None
+        )
+        cv = params["class_values"]  # [Dout, C]
+        cm = params["class_mask"]
+        out = jnp.zeros((m,), jnp.float32)
+        for d in range(self.output_dim):
+            xcol = x[:, d]
+            tidx = jnp.zeros((m,), jnp.int32)
+            for j in range(c):
+                hit = (cv[d, j] < xcol) & cm[d, j]
+                tidx = tidx + hit.astype(jnp.int32)
+            total = self._count_col(params, pidx, d, 0)
+            cnt_sel = jnp.where(
+                tidx == 0, self._count_col(params, pidx, d, 0), 0.0
+            )
+            for j in range(1, c):
+                col = self._count_col(params, pidx, d, j)
+                total = total + col
+                cnt_sel = cnt_sel + jnp.where(tidx == j, col, 0.0)
+            prob = cnt_sel / jnp.maximum(total, 1e-12)
+            out = out + jnp.log(jnp.maximum(prob, 1e-12))
+        return out

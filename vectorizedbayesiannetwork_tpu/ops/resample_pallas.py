@@ -104,19 +104,23 @@ def _norm_cum(weights: jax.Array) -> jax.Array:
     """Normalized inclusive CDF, shared by the fused kernels AND the XLA
     reference paths so ancestor predicates stay bit-consistent.
 
-    Normalized weights are rounded to exact multiples of 2**-22 first:
-    every partial sum is then exactly representable in f32 (multiples of
-    2**-22 below 4), so ANY summation grouping gives the same, exactly
-    nondecreasing CDF — the Pallas cumsum can skip its monotone max-scan
-    pass (half its cost), and total CDF error is <= 2**-22, far below
-    the ~1e-4 rounding drift a sequential f32 cumsum accumulates over
-    1M elements. Weights below 2**-23 of the total round to zero weight
-    (one quantum is 4e-7 of the CDF — orders below Monte-Carlo noise at
-    any supported particle count)."""
+    For S <= 2**19, normalized weights are rounded to exact multiples of
+    2**-22 first: every partial sum is then exactly representable in f32
+    (multiples of 2**-22 below 4), so ANY summation grouping gives the
+    same, exactly nondecreasing CDF — the Pallas cumsum can skip its
+    monotone max-scan pass (half its cost). The threshold keeps a quantum
+    <= 1/8 of the uniform weight 1/S, bounding the per-particle relative
+    selection-probability error at ~6% worst case and the deleted tail
+    mass well below Monte-Carlo noise (the round-2 advisor measured ~8%
+    of total mass silently rounding to zero for heavy-tailed weights at
+    the old 2**22 threshold, where a quantum EQUALED the uniform weight).
+    Larger S takes the monotone-scan path with ordinary f32 rounding
+    (~1e-4 cumulative drift at 1M, fixed at the endpoint by the final
+    renormalization)."""
     w = weights.astype(jnp.float32)
-    if w.shape[1] <= 1 << 22:
-        # Quantized-exact path (uniform weights stay nonzero: 1/S >=
-        # 2**-22 here, and a quantum is re-normalized away below).
+    if w.shape[1] <= 1 << 19:
+        # Quantized-exact path (uniform weights stay >= 8 quanta here,
+        # and a quantum is re-normalized away below).
         total = jnp.sum(w, axis=1, keepdims=True)
         w = jnp.round(
             w / jnp.maximum(total, 1e-20) * _QUANT
@@ -384,8 +388,15 @@ def _resolve_tile(
 
 
 def srg_supported(s: int, d: int) -> bool:
-    """Static-shape gate for the fused kernels."""
-    return s >= T and s % T == 0 and 1 <= d <= 512
+    """Static-shape gate for the fused kernels.
+
+    ``s >= 2 * W``: the window-pointer prefetch walks (p, p+1) pairs, so a
+    single-window input has no valid pair — ``_window_pointers`` would
+    clamp every pointer to -1 and the kernel silently gathers garbage
+    (round-2 advisor finding: S=512 returned maxerr ~6 while claiming
+    support). Single-window sizes take the XLA fallback instead.
+    """
+    return s >= 2 * W and s % T == 0 and 1 <= d <= 512
 
 
 def _tiles_per_instance(k_tiles: int) -> int:
