@@ -29,8 +29,10 @@ import time
 import numpy as np
 
 B = 256  # TPU serving batch (throughput-optimal; B=512 exceeds HBM)
-B_ASIA = 64  # asia has 8 nodes: the packed [B, S, 8] sweep at B=256 x 1M
-#              exceeds the 16G HBM; B=64 fits with headroom
+B_ASIA = 64  # asia serving batch. Driver-verified on v5e (round 3, after
+#              the small-C lane-pad fix in categorical_table): B=64 runs
+#              at 97 ms/call (658 q/s), B=128 at 190 ms (675 q/s — flat),
+#              B=256 exceeds HBM at compile. B=64 keeps latency + headroom.
 B_REF = 8  # reference's best batch — larger batches DEGRADE its q/s
 S = 1 << 20  # 1M particles
 REPS = 12

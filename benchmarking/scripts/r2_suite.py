@@ -20,8 +20,8 @@ from ..bundles import BenchmarkBundle, BenchmarkBundleSpec
 from ..pipeline import run_pipeline, stage_report, stage_run
 
 DISCRETE_MODELS = [
-    "exact_oracle", "ref_vbn_ct_lw", "vbn_ct_ce", "vbn_ct_is_dyn",
-    "vbn_ct_lw_dyn", "vbn_ct_mcm_dyn", "vbn_emb_lw_dyn",
+    "exact_oracle", "ref_vbn_ct_lw", "ref_vbn_ct_mcm", "vbn_ct_ce",
+    "vbn_ct_is_dyn", "vbn_ct_lw_dyn", "vbn_ct_mcm_dyn", "vbn_emb_lw_dyn",
 ]
 GAUSSIAN_MODELS = [
     "exact_oracle", "ref_vbn_lg_lw", "vbn_lg_exact", "vbn_lg_lw_dyn",

@@ -134,3 +134,73 @@ def test_ris_resampling_under_mesh(vbn, mesh):
         assert np.isfinite(np.asarray(samples)).all()
     finally:
         vbn.set_mesh(None)
+
+
+@pytest.mark.parametrize(
+    "method,kw",
+    [
+        ("gibbs", {"burn_in": 2, "thinning": 1}),
+        ("hmc", {"burn_in": 2, "n_leapfrog": 3}),
+        ("nuts", {"burn_in": 2, "max_depth": 3}),
+    ],
+)
+def test_mcmc_chains_sharded_match_unsharded(vbn, mesh, method, kw):
+    """MCMC samplers under the mesh: compile, run, and (partitionable
+    threefry) produce the SAME chains as unsharded at equal seeds
+    (round-2 VERDICT next #7)."""
+    q = {"target": "x2", "evidence": {"x0": [[0.1], [-0.1]]}}
+    vbn.set_sampling_method(method, **kw)
+    vbn.set_mesh(None)
+    vbn._keys.set_state(777)
+    s1 = np.asarray(vbn.sample(q, n_samples=16))
+    vbn.set_mesh(mesh)
+    vbn._keys.set_state(777)
+    s2 = np.asarray(vbn.sample(q, n_samples=16))
+    vbn.set_mesh(None)
+    assert np.isfinite(s1).all() and np.isfinite(s2).all()
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+
+def test_fused_update_dispatch_under_mesh_matches_unsharded(mesh):
+    """The whole-network fused update dispatch under a mesh equals the
+    unsharded update (data-parallel sufficient-stats psum reduction
+    point, SURVEY.md §5.8)."""
+
+    def fresh():
+        v = VBN(make_chain_graph(), seed=0)
+        v.set_learning_method(
+            "node_wise",
+            nodes_cpds={
+                k: defaults.cpd("linear_gaussian")
+                for k in ["x0", "x1", "x2"]
+            },
+        )
+        v.fit(make_chain_df())
+        return v
+
+    g = np.random.default_rng(5)
+    x0 = g.normal(size=64)
+    upd = {
+        "x0": x0.reshape(-1, 1).astype(np.float32),
+        "x1": (0.8 * x0 + 0.1 * g.normal(size=64))
+        .reshape(-1, 1)
+        .astype(np.float32),
+    }
+    upd["x2"] = (
+        (0.5 * upd["x1"][:, 0] + 0.1 * g.normal(size=64))
+        .reshape(-1, 1)
+        .astype(np.float32)
+    )
+
+    v1 = fresh()
+    v1.update(upd, update_method="streaming_stats")
+    v2 = fresh()
+    v2.set_mesh(mesh)
+    v2.update(upd, update_method="streaming_stats")
+    v2.set_mesh(None)
+    for node in ["x0", "x1", "x2"]:
+        p1, p2 = v1.params[node], v2.params[node]
+        for k in p1:
+            np.testing.assert_allclose(
+                np.asarray(p1[k]), np.asarray(p2[k]), atol=1e-4, err_msg=f"{node}.{k}"
+            )
