@@ -255,12 +255,24 @@ def survey() -> DiscreteBN:
     return bn
 
 
+def _midsize(name):
+    def make():
+        from .midsize import alarm, insurance
+
+        return {"insurance": insurance, "alarm": alarm}[name]()
+
+    return make
+
+
 BUILTIN_NETWORKS: Dict[str, Callable[[], DiscreteBN]] = {
     "sprinkler": sprinkler,
     "cancer": cancer,
     "asia": asia,
     "earthquake": earthquake,
     "survey": survey,
+    # canonical mid-size structures, seeded CPTs (see midsize.py)
+    "insurance": _midsize("insurance"),
+    "alarm": _midsize("alarm"),
 }
 
 

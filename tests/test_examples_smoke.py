@@ -28,6 +28,21 @@ DEMOS = sorted(
 )
 SLOW_DEMO = "2_scalability_num_mechanisms.py"
 
+# ONE budget for the whole pool, not per script (round-2 VERDICT next
+# #10: a single slow example must fail fast, not stretch the CI window
+# by its own 420 s). The pool runs ~20 scripts across all cores; 900 s
+# wall is ~2x the measured full-pool time on the CI-class 2-core box.
+SUITE_BUDGET_S = 900
+_pool_t0 = None
+
+
+def _remaining_budget() -> float:
+    import time
+
+    if _pool_t0 is None:
+        return SUITE_BUDGET_S
+    return max(5.0, SUITE_BUDGET_S - (time.monotonic() - _pool_t0))
+
 
 def _run_script(rel_dir: str, name: str, timeout: int = 420):
     env = dict(os.environ)
@@ -53,9 +68,12 @@ _executor = None
 
 def _future_for(rel_dir: str, name: str):
     """Submit ALL scripts on first use; return this one's future."""
-    global _executor
+    global _executor, _pool_t0
     with _lock:
         if _executor is None:
+            import time
+
+            _pool_t0 = time.monotonic()
             _executor = ThreadPoolExecutor(max_workers=_POOL_SIZE)
             for ex in EXAMPLES:
                 _futures[("examples", ex)] = _executor.submit(
@@ -69,7 +87,17 @@ def _future_for(rel_dir: str, name: str):
 
 
 def _check(rel_dir: str, name: str):
-    proc = _future_for(rel_dir, name).result()
+    from concurrent.futures import TimeoutError as FutureTimeout
+
+    try:
+        proc = _future_for(rel_dir, name).result(
+            timeout=_remaining_budget()
+        )
+    except FutureTimeout:
+        pytest.fail(
+            f"{name} still running past the {SUITE_BUDGET_S}s whole-pool "
+            "budget (SUITE_BUDGET_S in this file) — a script regressed."
+        )
     assert proc.returncode == 0, (
         f"{name} failed:\nSTDOUT:\n{proc.stdout[-2000:]}\n"
         f"STDERR:\n{proc.stderr[-2000:]}"
