@@ -29,10 +29,12 @@ import time
 import numpy as np
 
 B = 256  # TPU serving batch (throughput-optimal; B=512 exceeds HBM)
-B_ASIA = 64  # asia serving batch. Driver-verified on v5e (round 3, after
-#              the small-C lane-pad fix in categorical_table): B=64 runs
-#              at 97 ms/call (658 q/s), B=128 at 190 ms (675 q/s — flat),
-#              B=256 exceeds HBM at compile. B=64 keeps latency + headroom.
+B_ASIA = 512  # asia serving batch. Driver-verified on v5e (round 3):
+#              with the fully-fused Pallas sweep (ops/sweep_pallas.py) the
+#              per-particle state never touches HBM, so batch scales to
+#              B=512 x 1M particles in ~38 ms/call (13.3k q/s; B=64 ran
+#              8.1k q/s). The round-2 OOM config (XLA sweep, lane-padded
+#              [3BS,2] gather) is regression-pinned in test_memory_layout.
 B_REF = 8  # reference's best batch — larger batches DEGRADE its q/s
 S = 1 << 20  # 1M particles
 REPS = 12

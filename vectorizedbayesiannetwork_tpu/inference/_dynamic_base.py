@@ -225,18 +225,35 @@ class DynamicMaskMethod(CompiledMethod):
 
             return fn
 
+        import os
+        import time as _time
+
+        dbg = os.environ.get("VBN_FLUSH_DEBUG")
+        t0 = _time.perf_counter()
         prog_fn = self._compiled(
             vbn,
             plan,
             (self.dynamic_tag, "pmf", k, s) + opts + (b_pad,),
             build,
         )
+        t1 = _time.perf_counter()
         outs = prog_fn(
             self._params_tuple(vbn, plan), vbn.next_key_spec(), inputs
         )
+        t2 = _time.perf_counter()
         pmf, *aux = outs
         self._note_dynamic_aux(aux, slice(0, b_tot))
-        return np.asarray(pmf)[:b_tot], spans
+        res = np.asarray(pmf)[:b_tot], spans
+        if dbg:
+            t3 = _time.perf_counter()
+            print(
+                f"[pmf] tag={self.dynamic_tag} b_pad={b_pad} "
+                f"compile_lookup={1e3 * (t1 - t0):.1f}ms "
+                f"dispatch={1e3 * (t2 - t1):.1f}ms "
+                f"fetch={1e3 * (t3 - t2):.1f}ms",
+                flush=True,
+            )
+        return res
 
     def infer_posterior_moments(
         self, vbn, queries, *, pad_bucket: int = 1, **kwargs

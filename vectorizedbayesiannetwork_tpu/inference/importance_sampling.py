@@ -95,10 +95,16 @@ class ImportanceSampling(DynamicMaskMethod):
             w_out = jnp.where(
                 collapse_row[:, None], jax.nn.softmax(lw2, axis=1), weights
             )
-            p_out = jnp.where(collapse_row[:, None, None], p2, packed)
+            # select per-row TARGET values, not the whole packed tensor:
+            # a [B, S, total_dim] where-select materializes (and
+            # lane-pads) three total_dim-wide arrays for nothing — only
+            # the target block survives to the output.
+            tv1 = dynamic_target_values(plan, packed, ti)
+            tv2 = dynamic_target_values(plan, p2, ti)
+            s_out = jnp.where(collapse_row[:, None, None], tv2, tv1)
             return (
                 w_out,
-                dynamic_target_values(plan, p_out, ti),
+                s_out,
                 ess,
                 jnp.any(collapse_row),
             )

@@ -70,6 +70,26 @@ class LikelihoodWeighting(DynamicMaskMethod):
     def _dynamic_opts(self, kwargs):
         return (bool(kwargs.get("normalize", self.normalize)),)
 
+    @staticmethod
+    def _use_fused_kernel(plan, cpds, s, vbn) -> bool:
+        """Gate for the fully-fused Pallas sweep (VBN_FUSED_SWEEP=
+        auto|never|always; 'always' forces it off-TPU for debugging)."""
+        import os
+
+        mode = os.environ.get("VBN_FUSED_SWEEP", "auto").lower()
+        if mode == "never":
+            return False
+        if getattr(vbn, "_mesh", None) is not None:
+            return False  # sharded runs keep the GSPMD XLA sweep
+        from ..ops.sweep_pallas import (
+            categorical_sweep_supported,
+            sweep_pallas_available,
+        )
+
+        if not (sweep_pallas_available() or mode == "always"):
+            return False
+        return categorical_sweep_supported(plan, cpds, s)
+
     def _dynamic_fn(self, plan, cpds, s, opts):
         """The one mask-dynamic program body (single + row-fused paths)."""
         (normalize,) = opts
@@ -99,12 +119,45 @@ class LikelihoodWeighting(DynamicMaskMethod):
         cpds = self._cpds(vbn, plan)
         t = plan.target_idx
 
-        def fn(params_tuple, key, fixed_vals):
-            packed, log_w = sweep_trace(
-                plan, cpds, params_tuple, key, fixed_vals, s, weighted=True
+        if self._use_fused_kernel(plan, cpds, s, vbn):
+            # All-categorical static plans take the fully-fused Pallas
+            # sweep (ops/sweep_pallas.py): the whole topo sweep runs in
+            # VMEM and only log-weights + target values touch HBM —
+            # measured 97 ms -> single-digit ms on the asia 1M-particle
+            # headline (HBM-bound XLA sweep vs VPU-bound kernel).
+            from ..ops.sweep_pallas import (
+                _stacked_counts,
+                categorical_sweep_fused,
+                plan_tuple_for,
             )
-            weights, ess = self._weights_from_logw(log_w, normalize)
-            return weights, node_values(plan, packed, t), ess
+
+            plan_struct, total_rows, cmax = plan_tuple_for(plan, cpds)
+            cards = jnp.asarray(
+                [c.resolved_classes for c in cpds], jnp.int32
+            )
+
+            def fn(params_tuple, key, fixed_vals):
+                fixed_i = jnp.clip(
+                    jnp.rint(fixed_vals).astype(jnp.int32),
+                    0,
+                    cards[None, :] - 1,
+                )
+                counts = _stacked_counts(
+                    cpds, params_tuple, total_rows, cmax
+                )
+                log_w, tgt, _lpt = categorical_sweep_fused(
+                    key, fixed_i, counts, plan_struct, s
+                )
+                weights, ess = self._weights_from_logw(log_w, normalize)
+                return weights, tgt[:, :, None], ess
+        else:
+            def fn(params_tuple, key, fixed_vals):
+                packed, log_w = sweep_trace(
+                    plan, cpds, params_tuple, key, fixed_vals, s,
+                    weighted=True,
+                )
+                weights, ess = self._weights_from_logw(log_w, normalize)
+                return weights, node_values(plan, packed, t), ess
 
         def post(outs):
             weights, samples, ess = outs
@@ -113,7 +166,12 @@ class LikelihoodWeighting(DynamicMaskMethod):
 
         return Program(
             plan,
-            ("lw", s, normalize),
+            (
+                "lw",
+                s,
+                normalize,
+                self._use_fused_kernel(plan, cpds, s, vbn),
+            ),
             fn,
             self._params_tuple(vbn, plan),
             fixed,
