@@ -59,7 +59,9 @@ _add(ModelBenchmarkConfig(
 _add(ModelBenchmarkConfig(
     "vbn_ct_ce", "vbn_tpu",
     cpd=ComponentSpec.make("categorical_table"),
-    inference=ComponentSpec.make("categorical_exact"),
+    # n_samples flows into the LW fallback used when the joint support
+    # exceeds max_states (mid-size nets: alarm/insurance)
+    inference=ComponentSpec.make("categorical_exact", n_samples=2048),
 ))
 _add(ModelBenchmarkConfig(
     "vbn_ct_rao", "vbn_tpu",

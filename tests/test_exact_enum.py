@@ -135,13 +135,20 @@ def test_enum_matches_bruteforce(vbn):
 
 
 def test_enum_refuses_oversized_or_continuous(vbn):
-    vbn.set_inference_method("categorical_exact", max_states=4)
-    assert (
-        vbn.infer_posterior_pmf(
-            [{"target": "d", "evidence": {"a": [[0.0]]}}], n_classes=4
-        )
-        is None
+    # Oversized joint support: the fused dispatch delegates to the LW
+    # fallback's mask-dynamic program (NOT the per-skeleton None path,
+    # which compiled per query skeleton — 2-5 s/query on alarm-class
+    # nets) and flags the fallback.
+    vbn.set_inference_method(
+        "categorical_exact", max_states=4, n_samples=512
     )
+    out = vbn.infer_posterior_pmf(
+        [{"target": "d", "evidence": {"a": [[0.0]]}}], n_classes=4
+    )
+    assert out is not None
+    pmf, spans = out
+    assert pmf.shape == (1, 4) and np.all(pmf >= 0)
+    assert vbn._inference._last_fallback
     vbn.set_inference_method("categorical_exact")
 
     # continuous net -> unsupported

@@ -174,3 +174,137 @@ def test_posterior_matches_exact(fitted):
     # at 4096 fit rows)
     exact = exact_posterior(bn, "dysp", {"smoke": 1, "asia": 0})
     assert abs(p1 - float(exact[1])) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Linear-Gaussian fused sweep
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def lg_fitted():
+    from conftest import make_chain_df, make_chain_graph
+
+    vbn = VBN(make_chain_graph(), seed=0)
+    vbn.set_learning_method(
+        "node_wise",
+        nodes_cpds={
+            k: defaults.cpd("linear_gaussian") for k in ["x0", "x1", "x2"]
+        },
+    )
+    vbn.fit(make_chain_df())
+    query = Query(
+        target="x2",
+        evidence={"x0": np.full((B, 1), 0.5, np.float32)},
+        do={},
+    )
+    plan = get_plan(vbn, query)
+    cpds = tuple(vbn.cpd_spec(n) for n in plan.topo_order)
+    params = tuple(vbn.params[n] for n in plan.topo_order)
+    return vbn, plan, cpds, params
+
+
+def test_lg_matches_numpy_reference(lg_fitted):
+    from vectorizedbayesiannetwork_tpu.ops.sweep_pallas import (
+        lg_param_table,
+        lg_plan_tuple_for,
+        lg_sweep_fused,
+        lg_sweep_supported,
+    )
+
+    vbn, plan, cpds, params = lg_fitted
+    assert lg_sweep_supported(plan, cpds, 2048)
+    plan_struct, dmax = lg_plan_tuple_for(plan, cpds)
+    ptab = lg_param_table(
+        cpds, params, dmax, tuple(c.min_scale for c in cpds)
+    )
+    rng = np.random.default_rng(5)
+    n = plan.n_nodes
+    u = rng.uniform(1e-6, 1 - 1e-6, size=(B, 2 * n, S)).astype(np.float32)
+    fixed = np.zeros((B, n), np.float32)
+    for i in range(n):
+        if plan.evidence_mask[i]:
+            fixed[:, i] = 0.5
+    logw, tgt, lpt = lg_sweep_fused(
+        jax.random.PRNGKey(0),
+        jnp.asarray(fixed),
+        ptab,
+        plan_struct,
+        dmax,
+        S,
+        interpret=True,
+        u_ext=jnp.asarray(u),
+    )
+    # numpy reference with identical Box-Muller draws
+    n_nodes, parent_idx, ev_mask, do_mask, target_idx = plan_struct
+    pt = np.asarray(ptab, np.float64)
+    vals = np.zeros((n_nodes, B, S))
+    ref_logw = np.zeros((B, S))
+    ref_lpt = np.zeros((B, S))
+    for i in range(n_nodes):
+        loc = np.full((B, S), pt[i, dmax])
+        for k, p in enumerate(parent_idx[i]):
+            loc = loc + vals[p] * pt[i, k]
+        sigma = pt[i, dmax + 1]
+        if ev_mask[i] or do_mask[i]:
+            v = np.broadcast_to(fixed[:, i][:, None], (B, S)).astype(
+                np.float64
+            )
+        else:
+            u1 = u[:, 2 * i].astype(np.float64)
+            u2 = u[:, 2 * i + 1].astype(np.float64)
+            z = np.sqrt(-2 * np.log(u1)) * np.cos(2 * np.pi * u2)
+            v = loc + sigma * z
+        vals[i] = v
+        zz = (v - loc) / sigma
+        lp = -0.5 * zz**2 - np.log(sigma) - 0.9189385332046727
+        if ev_mask[i]:
+            ref_logw += lp
+        if i == target_idx:
+            ref_lpt = lp
+    np.testing.assert_allclose(np.asarray(tgt), vals[target_idx], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(logw), ref_logw, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(lpt), ref_lpt, atol=2e-3)
+
+
+def test_lg_posterior_matches_closed_form(lg_fitted):
+    """LW posterior mean via the fused LG sweep vs exact conditioning."""
+    from vectorizedbayesiannetwork_tpu.ops.sweep_pallas import (
+        lg_param_table,
+        lg_plan_tuple_for,
+        lg_sweep_fused,
+    )
+
+    vbn, plan, cpds, params = lg_fitted
+    plan_struct, dmax = lg_plan_tuple_for(plan, cpds)
+    ptab = lg_param_table(
+        cpds, params, dmax, tuple(c.min_scale for c in cpds)
+    )
+    rng = np.random.default_rng(9)
+    s = 1 << 14
+    n = plan.n_nodes
+    u = rng.uniform(1e-6, 1 - 1e-6, size=(1, 2 * n, s)).astype(np.float32)
+    fixed = np.zeros((1, n), np.float32)
+    for i in range(n):
+        if plan.evidence_mask[i]:
+            fixed[:, i] = 0.5
+    logw, tgt, _ = lg_sweep_fused(
+        jax.random.PRNGKey(1),
+        jnp.asarray(fixed),
+        ptab,
+        plan_struct,
+        dmax,
+        s,
+        interpret=True,
+        u_ext=jnp.asarray(u),
+    )
+    w = np.exp(np.asarray(logw)[0] - np.asarray(logw)[0].max())
+    mean = float((w * np.asarray(tgt)[0]).sum() / w.sum())
+    # collider x0 -> x2 <- x1, evidence on x0 only (ancestral evidence):
+    # E[x2 | x0=0.5] = b_t + w_{x0}*0.5 + w_{x1}*E[x1]
+    pt = np.asarray(ptab)
+    t = plan.target_idx
+    expect = pt[t, dmax]
+    for k, p in enumerate(plan.parent_idx[t]):
+        p_mean = 0.5 if plan.evidence_mask[p] else pt[p, dmax]
+        expect += pt[t, k] * p_mean
+    assert abs(mean - expect) < 0.05

@@ -59,6 +59,29 @@ class CategoricalExact(CompiledMethod):
         plan = get_plan(vbn, Query(target=topo[0], evidence={}, do={}))
         cpds = self._cpds(vbn, plan)
         if not exact_enum_supported(plan, cpds, self.max_states):
+            # Joint support too large to enumerate: delegate the WHOLE
+            # fused dispatch to the fallback's mask-dynamic program (one
+            # compile per network) instead of returning None — the
+            # generic per-skeleton path behind None compiles per query
+            # skeleton (measured 2-5 s/query on alarm/insurance).
+            fb = self._fallback
+            fb_pmf = getattr(fb, "infer_posterior_pmf", None)
+            fully_discrete = all(
+                hasattr(c, "categorical_probs") and c.output_dim == 1
+                for c in cpds
+            )
+            if fb_pmf is not None and fully_discrete:
+                self._last_fallback = True
+                out = fb_pmf(
+                    vbn,
+                    queries,
+                    n_classes=n_classes,
+                    pad_bucket=pad_bucket,
+                    dynamic_masks=True,
+                    **kwargs,
+                )
+                if out is not None:
+                    return out
             return None
         k = int(n_classes)
         inputs, spans, b_tot, b_pad = pack_dynamic_inputs(

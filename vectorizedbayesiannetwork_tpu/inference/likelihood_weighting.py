@@ -71,7 +71,7 @@ class LikelihoodWeighting(DynamicMaskMethod):
         return (bool(kwargs.get("normalize", self.normalize)),)
 
     @staticmethod
-    def _use_fused_kernel(plan, cpds, s, vbn) -> bool:
+    def _fused_gate(vbn) -> bool:
         """Gate for the fully-fused Pallas sweep (VBN_FUSED_SWEEP=
         auto|never|always; 'always' forces it off-TPU for debugging)."""
         import os
@@ -81,14 +81,15 @@ class LikelihoodWeighting(DynamicMaskMethod):
             return False
         if getattr(vbn, "_mesh", None) is not None:
             return False  # sharded runs keep the GSPMD XLA sweep
-        from ..ops.sweep_pallas import (
-            categorical_sweep_supported,
-            sweep_pallas_available,
-        )
+        from ..ops.sweep_pallas import sweep_pallas_available
 
-        if not (sweep_pallas_available() or mode == "always"):
-            return False
-        return categorical_sweep_supported(plan, cpds, s)
+        return sweep_pallas_available() or mode == "always"
+
+    @staticmethod
+    def _fused_raw_fn(plan, cpds, s, vbn):
+        from ..ops.sweep_pallas import make_fused_sweep_fn
+
+        return make_fused_sweep_fn(plan, cpds, s)
 
     def _dynamic_fn(self, plan, cpds, s, opts):
         """The one mask-dynamic program body (single + row-fused paths)."""
@@ -119,35 +120,20 @@ class LikelihoodWeighting(DynamicMaskMethod):
         cpds = self._cpds(vbn, plan)
         t = plan.target_idx
 
-        if self._use_fused_kernel(plan, cpds, s, vbn):
-            # All-categorical static plans take the fully-fused Pallas
-            # sweep (ops/sweep_pallas.py): the whole topo sweep runs in
-            # VMEM and only log-weights + target values touch HBM —
-            # measured 97 ms -> single-digit ms on the asia 1M-particle
-            # headline (HBM-bound XLA sweep vs VPU-bound kernel).
-            from ..ops.sweep_pallas import (
-                _stacked_counts,
-                categorical_sweep_fused,
-                plan_tuple_for,
-            )
-
-            plan_struct, total_rows, cmax = plan_tuple_for(plan, cpds)
-            cards = jnp.asarray(
-                [c.resolved_classes for c in cpds], jnp.int32
-            )
-
+        raw = (
+            self._fused_raw_fn(plan, cpds, s, vbn)
+            if self._fused_gate(vbn)
+            else None
+        )
+        if raw is not None:
+            # All-categorical / all-linear-Gaussian static plans take the
+            # fully-fused Pallas sweep (ops/sweep_pallas.py): the whole
+            # topo sweep runs in VMEM and only log-weights + target
+            # values touch HBM — measured 97 ms -> 7.9 ms on the asia
+            # 1M-particle headline (HBM-bound XLA sweep vs VPU-bound
+            # kernel).
             def fn(params_tuple, key, fixed_vals):
-                fixed_i = jnp.clip(
-                    jnp.rint(fixed_vals).astype(jnp.int32),
-                    0,
-                    cards[None, :] - 1,
-                )
-                counts = _stacked_counts(
-                    cpds, params_tuple, total_rows, cmax
-                )
-                log_w, tgt, _lpt = categorical_sweep_fused(
-                    key, fixed_i, counts, plan_struct, s
-                )
+                log_w, tgt, _lpt = raw(params_tuple, key, fixed_vals)
                 weights, ess = self._weights_from_logw(log_w, normalize)
                 return weights, tgt[:, :, None], ess
         else:
@@ -166,12 +152,7 @@ class LikelihoodWeighting(DynamicMaskMethod):
 
         return Program(
             plan,
-            (
-                "lw",
-                s,
-                normalize,
-                self._use_fused_kernel(plan, cpds, s, vbn),
-            ),
+            ("lw", s, normalize, raw is not None),
             fn,
             self._params_tuple(vbn, plan),
             fixed,

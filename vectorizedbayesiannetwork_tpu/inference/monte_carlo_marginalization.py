@@ -121,14 +121,31 @@ class MonteCarloMarginalization(DynamicMaskMethod):
                 plan, ("mcm_direct", s), fn_direct, params, fixed, post
             )
 
-        def fn(params_tuple, key, fixed_vals):
-            packed, _ = sweep_trace(
-                plan, cpds, params_tuple, key, fixed_vals, s
-            )
-            lp = target_log_prob(plan, cpds, params_tuple, packed)
-            return jnp.exp(lp), node_values(plan, packed, t)
+        from .likelihood_weighting import LikelihoodWeighting
 
-        return Program(plan, ("mcm", s), fn, params, fixed, post)
+        raw = (
+            LikelihoodWeighting._fused_raw_fn(plan, cpds, s, vbn)
+            if LikelihoodWeighting._fused_gate(vbn)
+            else None
+        )
+        if raw is not None:
+            # Fused Pallas sweep (ops/sweep_pallas.py): MCM clamps
+            # evidence/do without weighting and exponentiates the
+            # target's log-density — exactly the kernel's lpt output.
+            def fn(params_tuple, key, fixed_vals):
+                _logw, tgt, lpt = raw(params_tuple, key, fixed_vals)
+                return jnp.exp(lpt), tgt[:, :, None]
+        else:
+            def fn(params_tuple, key, fixed_vals):
+                packed, _ = sweep_trace(
+                    plan, cpds, params_tuple, key, fixed_vals, s
+                )
+                lp = target_log_prob(plan, cpds, params_tuple, packed)
+                return jnp.exp(lp), node_values(plan, packed, t)
+
+        return Program(
+            plan, ("mcm", s, raw is not None), fn, params, fixed, post
+        )
 
     def infer_posterior(self, vbn, query: Query, **kwargs):
         return self._run_program(vbn, self.make_program(vbn, query, **kwargs))

@@ -309,3 +309,235 @@ def plan_tuple_for(plan, cpds):
         total_rows,
         max(cards),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear-Gaussian fused sweep (the bnlearn "gaussian" class / LG flagship)
+# ---------------------------------------------------------------------------
+
+def lg_sweep_supported(plan, cpds, n_samples: int) -> bool:
+    from ..models.linear_gaussian import LinearGaussianCPD
+
+    if plan.n_nodes > _MAX_NODES or n_samples % 1024 != 0:
+        return False
+    for i, cpd in enumerate(cpds):
+        if not isinstance(cpd, LinearGaussianCPD):
+            return False
+        if cpd.output_dim != 1:
+            return False
+        if cpd.input_dim != len(plan.parent_idx[i]):
+            return False  # multi-dim parents would misalign the w table
+    return True
+
+
+def lg_plan_tuple_for(plan, cpds):
+    dmax = max((len(p) for p in plan.parent_idx), default=0)
+    return (
+        (
+            plan.n_nodes,
+            tuple(tuple(p) for p in plan.parent_idx),
+            tuple(bool(m) for m in plan.evidence_mask),
+            tuple(bool(m) for m in plan.do_mask),
+            plan.target_idx,
+        ),
+        max(dmax, 1),
+    )
+
+
+def lg_param_table(cpds, params_tuple, dmax: int, min_scales):
+    """[N, dmax + 2] rows: [w_0..w_{din-1}, 0pad, bias, sigma]."""
+    rows = []
+    for cpd, params, ms in zip(cpds, params_tuple, min_scales):
+        w = params["weight"][:, 0]  # [din]
+        pad = jnp.zeros((dmax - w.shape[0],), jnp.float32)
+        sigma = jnp.sqrt(jnp.maximum(params["var"][0], ms**2))
+        rows.append(
+            jnp.concatenate([w, pad, params["bias"], sigma[None]])
+        )
+    return jnp.stack(rows)  # [N, dmax + 2]
+
+
+_HALF_LOG_2PI = 0.9189385332046727
+
+
+def _lg_sweep_kernel(
+    seed_ref,  # SMEM [1] i32 (scalar prefetch)
+    fixed_ref,  # SMEM [B, N] f32 evidence/do values (scalar prefetch)
+    ptab_ref,  # VMEM [N, dmax + 2] f32 parameter table
+    u_ref,  # VMEM [1, 2N * TM, 128] f32 external uniforms, or dummy
+    logw_ref,
+    tgt_ref,
+    lpt_ref,
+    *,
+    plan_tuple,
+    dmax: int,
+    tm: int,
+    external_u: bool,
+):
+    n_nodes, parent_idx, ev_mask, do_mask, target_idx = plan_tuple
+    b = pl.program_id(0)
+    st = pl.program_id(1)
+    if not external_u:
+        pltpu.prng_seed(seed_ref[0], b * pl.num_programs(1) + st)
+
+    vals = [None] * n_nodes
+    logw = jnp.zeros((tm, _LANE), jnp.float32)
+    lpt = jnp.zeros((tm, _LANE), jnp.float32)
+    two_pi = jnp.float32(2.0 * np.pi)
+
+    for i in range(n_nodes):
+        pids = parent_idx[i]
+        loc = ptab_ref[i, dmax]  # bias (scalar)
+        for k, p in enumerate(pids):
+            loc = loc + vals[p] * ptab_ref[i, k]
+        sigma = ptab_ref[i, dmax + 1]
+
+        is_fixed = bool(ev_mask[i] or do_mask[i])
+        if is_fixed:
+            val = jnp.full((tm, _LANE), fixed_ref[b, i], jnp.float32)
+        else:
+            if external_u:
+                u1 = u_ref[0, (2 * i) * tm : (2 * i + 1) * tm, :]
+                u2 = u_ref[0, (2 * i + 1) * tm : (2 * i + 2) * tm, :]
+            else:
+                u1 = _uniform_from_bits((tm, _LANE))
+                u2 = _uniform_from_bits((tm, _LANE))
+            z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(two_pi * u2)
+            val = loc + sigma * z
+        vals[i] = val
+
+        if ev_mask[i] or i == target_idx:
+            zz = (val - loc) / sigma
+            lp = -0.5 * zz * zz - jnp.log(sigma) - _HALF_LOG_2PI
+            if ev_mask[i]:
+                logw = logw + lp
+            if i == target_idx:
+                lpt = lp
+
+    logw_ref[0] = logw
+    tgt_ref[0] = vals[target_idx]
+    lpt_ref[0] = lpt
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan_tuple", "dmax", "n_samples", "interpret"),
+)
+def lg_sweep_fused(
+    key: jax.Array,
+    fixed_vals: jax.Array,  # [B, N] f32 evidence/do values
+    param_table: jax.Array,  # [N, dmax + 2]
+    plan_tuple,
+    dmax: int,
+    n_samples: int,
+    interpret: bool = False,
+    u_ext=None,  # [B, 2N, S] f32 external uniforms (interpret tests only)
+):
+    """Returns (log_w [B, S], target_vals [B, S], lp_tgt [B, S])."""
+    b, n = fixed_vals.shape
+    s = n_samples
+    tm = 8
+    while tm < 128 and (s // (_LANE * tm)) * b > 4096 and (
+        n * tm * 2 * _LANE * 4 <= (2 << 20)
+    ):
+        tm *= 2
+    while s % (tm * _LANE) != 0:
+        tm //= 2
+    s_tiles = s // (tm * _LANE)
+    seed = jax.random.bits(key, (1,), "uint32").astype(jnp.int32)
+
+    external_u = u_ext is not None
+    kernel = functools.partial(
+        _lg_sweep_kernel,
+        plan_tuple=plan_tuple,
+        dmax=dmax,
+        tm=tm,
+        external_u=external_u,
+    )
+    in_specs = [
+        pl.BlockSpec(param_table.shape, lambda bb, st, *_: (0, 0)),
+    ]
+    operands = [param_table]
+    if external_u:
+        u_r = u_ext.reshape(b, 2 * n, s_tiles, tm, _LANE)
+        u_r = jnp.transpose(u_r, (0, 2, 1, 3, 4)).reshape(
+            b, s_tiles * 2 * n * tm, _LANE
+        )
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 2 * n * tm, _LANE), lambda bb, st, *_: (bb, st, 0)
+            )
+        )
+        operands.append(u_r)
+    else:
+        in_specs.append(
+            pl.BlockSpec((8, _LANE), lambda bb, st, *_: (0, 0))
+        )
+        operands.append(jnp.zeros((8, _LANE), jnp.float32))  # unused
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, s_tiles),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, tm, _LANE), lambda bb, st, *_: (bb, st, 0))
+            for _ in range(3)
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((b, s_tiles * tm, _LANE), jnp.float32)
+        for _ in range(3)
+    ]
+    logw, tgt, lpt = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(seed, fixed_vals, *operands)
+    return logw.reshape(b, s), tgt.reshape(b, s), lpt.reshape(b, s)
+
+
+# ---------------------------------------------------------------------------
+# Program-level builder shared by LW / MCM static paths
+# ---------------------------------------------------------------------------
+
+def make_fused_sweep_fn(plan, cpds, n_samples: int):
+    """Return ``raw(params_tuple, key, fixed) -> (logw, tgt, lpt)`` using
+    the family-matched fused kernel, or None when unsupported. ``fixed``
+    is the packed [B, total_dim] float evidence/do array (total_dim ==
+    n_nodes under both gates)."""
+    if categorical_sweep_supported(plan, cpds, n_samples):
+        plan_struct, total_rows, cmax = plan_tuple_for(plan, cpds)
+        cards = jnp.asarray(
+            [c.resolved_classes for c in cpds], jnp.int32
+        )
+
+        def raw_cat(params_tuple, key, fixed_vals):
+            fixed_i = jnp.clip(
+                jnp.rint(jnp.nan_to_num(fixed_vals)).astype(jnp.int32),
+                0,
+                cards[None, :] - 1,
+            )
+            counts = _stacked_counts(cpds, params_tuple, total_rows, cmax)
+            return categorical_sweep_fused(
+                key, fixed_i, counts, plan_struct, n_samples
+            )
+
+        return raw_cat
+    if lg_sweep_supported(plan, cpds, n_samples):
+        plan_struct, dmax = lg_plan_tuple_for(plan, cpds)
+        min_scales = tuple(float(c.min_scale) for c in cpds)
+
+        def raw_lg(params_tuple, key, fixed_vals):
+            ptab = lg_param_table(cpds, params_tuple, dmax, min_scales)
+            return lg_sweep_fused(
+                key,
+                fixed_vals.astype(jnp.float32),
+                ptab,
+                plan_struct,
+                dmax,
+                n_samples,
+            )
+
+        return raw_lg
+    return None
