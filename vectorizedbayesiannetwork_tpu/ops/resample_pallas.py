@@ -97,28 +97,30 @@ def _window_pointers(cum: jax.Array, queries: jax.Array) -> jax.Array:
     return jnp.minimum(p, cum.shape[1] // W - 2).astype(jnp.int32)
 
 
-_QUANT = jnp.float32(2.0**22)
+_QUANT = jnp.float32(2.0**23)
 
 
 def _norm_cum(weights: jax.Array) -> jax.Array:
     """Normalized inclusive CDF, shared by the fused kernels AND the XLA
     reference paths so ancestor predicates stay bit-consistent.
 
-    For S <= 2**19, normalized weights are rounded to exact multiples of
-    2**-22 first: every partial sum is then exactly representable in f32
-    (multiples of 2**-22 below 4), so ANY summation grouping gives the
+    For S <= 2**20, normalized weights are rounded to exact multiples of
+    2**-23 first: every partial sum is then exactly representable in f32
+    (the normalized total is ~1 < 2, so sums stay within 24 mantissa
+    bits of the 2**-23 quantum), so ANY summation grouping gives the
     same, exactly nondecreasing CDF — the Pallas cumsum can skip its
-    monotone max-scan pass (half its cost). The threshold keeps a quantum
-    <= 1/8 of the uniform weight 1/S, bounding the per-particle relative
-    selection-probability error at ~6% worst case and the deleted tail
-    mass well below Monte-Carlo noise (the round-2 advisor measured ~8%
-    of total mass silently rounding to zero for heavy-tailed weights at
-    the old 2**22 threshold, where a quantum EQUALED the uniform weight).
-    Larger S takes the monotone-scan path with ordinary f32 rounding
-    (~1e-4 cumulative drift at 1M, fixed at the endpoint by the final
+    monotone max-scan pass (half its cost). The threshold keeps a
+    quantum <= 1/8 of the uniform weight 1/S, bounding the per-particle
+    relative selection-probability error at ~6% worst case and the
+    deleted tail mass well below Monte-Carlo noise (the round-2 advisor
+    measured ~8% of total mass silently rounding to zero for
+    heavy-tailed weights with the old 2**-22 quantum at its old 2**22
+    threshold, where a quantum EQUALED the uniform weight). Larger S
+    takes the monotone-scan path with ordinary f32 rounding (~1e-4
+    cumulative drift, fixed at the endpoint by the final
     renormalization)."""
     w = weights.astype(jnp.float32)
-    if w.shape[1] <= 1 << 19:
+    if w.shape[1] <= 1 << 20:
         # Quantized-exact path (uniform weights stay >= 8 quanta here,
         # and a quantum is re-normalized away below).
         total = jnp.sum(w, axis=1, keepdims=True)
