@@ -41,10 +41,15 @@ sequences — the particle CDF ``cum`` and the stratified positions
   (the final window holds cum == 1.0 > every position, so the walk
   always terminates in range — no sentinel windows are materialized).
 
-All per-window blocks live in one ``[B, K, rows, 128]`` array so every
-DMA is a whole aligned window selected by leading-dim indices — Mosaic
-forbids unaligned slices of tiled trailing dims, and a short trailing
-dim would be physically lane-padded to 128.
+Raw windows stream in as padding-free ``[B, KW, 4, 128]`` cum and
+``[B, KW, DD, 4, 128]`` value arrays (pure reshapes of the natural
+inputs), and the transposed hierarchical layout is built IN-REGISTER per
+tile (``_build_block``: static lane-gathers + lane-mask selects). Round
+2 built the layout XLA-side into a ``[B, K, rows, 128]`` array instead;
+that prep's small-tile transposes ran 15-20x over their traffic
+speed-of-light and dominated the kernel's total (~9 of 22.7 ms at 8x1M
+— BENCH_NOTES round-3 decomposition; moving the build in-kernel
+measured 19.4 -> 16.0 ms at d=1 and 38.0 -> 22.0 ms at d=8).
 
 Semantics match ``searchsorted(cum, u, side='right')`` exactly in f32 (the
 reference form in ``ops/resample.py`` computes the same ancestors via
@@ -135,6 +140,110 @@ def _norm_cum(weights: jax.Array) -> jax.Array:
     else:
         cum = jnp.cumsum(w, axis=1)
     return cum / jnp.maximum(cum[:, -1:], 1e-20)
+
+
+def _raw_windows(cum: jax.Array, values: jax.Array):
+    """Padding-free raw window arrays for the in-kernel layout build.
+
+    Returns (cum_w [B,KW,4,128], val_w [B,KW,DD,4,128], dd). Pure
+    reshapes of the natural [B,S]/[B,S,D] arrays (plus one chunky
+    feature-axis transpose for D > 1), replacing ``_prep_blocks``'s
+    XLA-side small-tile transposes, which ran 15-20x over their traffic
+    speed-of-light (~9 ms of the round-2 kernel's 22.7 ms total at
+    8x1M, BENCH_NOTES round-3 decomposition).
+    """
+    b, s = cum.shape
+    d = values.shape[-1]
+    kw = s // W
+    dd = d + (d % 2)
+    cum_w = cum.reshape(b, kw, 4, _LB)
+    v = values.astype(jnp.float32)
+    if d == 1:
+        vt = v.reshape(b, kw, 1, 4, _LB)
+    else:
+        vt = v.reshape(b, kw, 4, _LB, d).transpose(0, 1, 4, 2, 3)
+    if dd != d:
+        vt = jnp.concatenate(
+            [vt, jnp.zeros((b, kw, dd - d, 4, _LB), jnp.float32)], axis=2
+        )
+    return cum_w, vt, dd
+
+
+def _hier_header(cw):
+    """[4,128] natural cum window -> [16,128] hierarchical header rows
+    (rows 0:8 supercolumn-lasts broadcast; rows 8:16 = colt | clt | 0),
+    bit-identical to ``_prep_blocks``'s layout, built with static
+    lane-gathers + lane-mask selects (Mosaic rejects the (4,128)->(64,8)
+    shape cast a direct transpose would need)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, _LB), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, _LB), 0)
+    hdr = jnp.zeros((8, _LB), jnp.float32)
+    for r in range(4):
+        src = jnp.broadcast_to(cw[r : r + 1, :], (8, _LB))
+        # colt lanes 16r..16r+15: entry 8*(l-16r)+s of source row r
+        idx = jnp.clip(8 * (lane - 16 * r) + sub, 0, _LB - 1)
+        g = jnp.take_along_axis(src, idx, axis=1, mode="promise_in_bounds")
+        m = (lane >= 16 * r) & (lane < 16 * (r + 1))
+        hdr = jnp.where(m, g, hdr)
+        # clt lanes 64:72: entry 8*(8*(l-64)+s)+7
+        e = 8 * (8 * (lane - 64) + sub) + 7
+        idx = jnp.clip(e - _LB * r, 0, _LB - 1)
+        g = jnp.take_along_axis(src, idx, axis=1, mode="promise_in_bounds")
+        m = (
+            (lane >= 64)
+            & (lane < 72)
+            & (e >= _LB * r)
+            & (e < _LB * (r + 1))
+        )
+        hdr = jnp.where(m, g, hdr)
+    # supercolumn-lasts as an independent gather chain (deriving them
+    # from the built clt row measured neutral-to-worse: it serializes
+    # on hdr and costs the ILP the 4-source form gets for free)
+    scb = jnp.zeros((8, _LB), jnp.float32)
+    for r in range(4):
+        src = jnp.broadcast_to(cw[r : r + 1, :], (8, _LB))
+        e = 64 * sub + 63  # supercolumn-last entry per sublane row
+        idx = jnp.clip(e - _LB * r, 0, _LB - 1)
+        g = jnp.take_along_axis(src, idx, axis=1, mode="promise_in_bounds")
+        m = (e >= _LB * r) & (e < _LB * (r + 1))
+        scb = jnp.where(m, g, scb)
+    return jnp.concatenate([scb, hdr], axis=0)
+
+
+def _hier_vrows(vw, p: int):
+    """[DD,4,128] raw value window -> [8,128] transposed pair-row block
+    for feature pair ``p`` (feature 2p at lanes 0:64, 2p+1 at 64:128),
+    matching ``_prep_blocks``'s vt layout bit-for-bit."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, _LB), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, _LB), 0)
+    out = jnp.zeros((8, _LB), jnp.float32)
+    for h in (0, 1):
+        f = 2 * p + h
+        e = 8 * (lane - 64 * h) + sub
+        for r in range(4):
+            src = jnp.broadcast_to(vw[f, r : r + 1, :], (8, _LB))
+            idx = jnp.clip(e - _LB * r, 0, _LB - 1)
+            g = jnp.take_along_axis(
+                src, idx, axis=1, mode="promise_in_bounds"
+            )
+            m = (
+                (lane >= 64 * h)
+                & (lane < 64 * h + 64)
+                & (e >= _LB * r)
+                & (e < _LB * (r + 1))
+            )
+            out = jnp.where(m, g, out)
+    return out
+
+
+def _build_block(cw, vw, dd: int):
+    """Raw (cum [4,128], values [DD,4,128]) window -> the [rows,128]
+    hierarchical block ``_pair_pick`` consumes (identical layout to the
+    removed XLA-side ``_prep_blocks``)."""
+    parts = [_hier_header(cw)]
+    for p in range(dd // 2):
+        parts.append(_hier_vrows(vw, p))
+    return jnp.concatenate(parts, axis=0)
 
 
 def _value_pair(blk0, blk1, fidx):
@@ -255,21 +364,22 @@ def _pair_pick(blk0, blk1, uqs, u_last, prev_last, acc, d):
 def _srg_kernel(
     u0_ref,  # SMEM [B, 1] f32 (scalar prefetch)
     p_ref,  # SMEM [B, K] int32 window pointers (scalar prefetch)
-    *args,  # 2r pipelined window refs [1, 1, rows, 128] (hierarchical
-    #         window blocks), then the HBM blocks (overflow walk), the
-    #         [1, 1, r*rows_out, 128] output block, VMEM overflow
-    #         scratch x2, DMA semaphores (2,)
+    *args,  # 4r pipelined raw-window refs (cum [1,1,4,128] + values
+    #         [1,1,dd,4,128] per window of each pair), then the HBM raw
+    #         arrays (overflow walk), the [1, 1, r*rows_out, 128] output
+    #         block, VMEM overflow scratch x4, DMA semaphores (4,)
     s: int,
     d: int,
+    dd: int,
     r: int,
     k_last: int,
 ):
     """r output tiles per program instance (VBN_SRG_TPI; measured neutral
     at 8x1M — the rank search, not grid overhead, bounds the kernel)."""
-    blks = args[: 2 * r]
-    blk_raw = args[2 * r]
-    out_ref = args[2 * r + 1]
-    bso0, bso1, sems = args[2 * r + 2], args[2 * r + 3], args[2 * r + 4]
+    blks = args[: 4 * r]
+    cum_raw, val_raw = args[4 * r], args[4 * r + 1]
+    out_ref = args[4 * r + 2]
+    cs0, vs0, cs1, vs1, sems = args[4 * r + 3 : 4 * r + 8]
     b = pl.program_id(0)
     kk = pl.program_id(1)
     rows_out = out_ref.shape[2] // r
@@ -294,26 +404,28 @@ def _srg_kernel(
         )
         uqs = [u[:, oq * _LB : (oq + 1) * _LB] for oq in range(T // _LB)]
         _resolve_tile(
-            b, p_ref[b, k], uqs, u_last, blks[2 * j], blks[2 * j + 1],
-            blk_raw, out_ref, bso0, bso1, sems, d,
+            b, p_ref[b, k], uqs, u_last,
+            blks[4 * j], blks[4 * j + 1], blks[4 * j + 2], blks[4 * j + 3],
+            cum_raw, val_raw, out_ref, cs0, vs0, cs1, vs1, sems, d, dd,
             row0=j * rows_out, rows_out=rows_out, k_last=k_last,
         )
 
 
 def _spg_kernel(
     p_ref,  # SMEM [B, K] int32 window pointers (scalar prefetch)
-    *args,  # positions block [1, r, nq, 128], then 2r pipelined window
-    #         refs, HBM blocks, output [1, 1, r*rows_out, 128], scratch,
+    *args,  # positions block [1, r, nq, 128], then 4r pipelined raw
+    #         window refs, HBM raw arrays, output, scratch x4,
     #         semaphores — see _srg_kernel
     d: int,
+    dd: int,
     r: int,
     k_last: int,
 ):
     pos_ref = args[0]
-    blks = args[1 : 1 + 2 * r]
-    blk_raw = args[1 + 2 * r]
-    out_ref = args[2 + 2 * r]
-    bso0, bso1, sems = args[3 + 2 * r], args[4 + 2 * r], args[5 + 2 * r]
+    blks = args[1 : 1 + 4 * r]
+    cum_raw, val_raw = args[1 + 4 * r], args[2 + 4 * r]
+    out_ref = args[3 + 4 * r]
+    cs0, vs0, cs1, vs1, sems = args[4 + 4 * r : 9 + 4 * r]
     b = pl.program_id(0)
     kk = pl.program_id(1)
     rows_out = out_ref.shape[2] // r
@@ -323,30 +435,35 @@ def _spg_kernel(
         uqs = [pos[oq : oq + 1, :] for oq in range(T // _LB)]
         u_last = jnp.max(pos)  # positions are globally sorted
         _resolve_tile(
-            b, p_ref[b, k], uqs, u_last, blks[2 * j], blks[2 * j + 1],
-            blk_raw, out_ref, bso0, bso1, sems, d,
+            b, p_ref[b, k], uqs, u_last,
+            blks[4 * j], blks[4 * j + 1], blks[4 * j + 2], blks[4 * j + 3],
+            cum_raw, val_raw, out_ref, cs0, vs0, cs1, vs1, sems, d, dd,
             row0=j * rows_out, rows_out=rows_out, k_last=k_last,
         )
 
 
 def _resolve_tile(
-    b, start, uqs, u_last, blk0_ref, blk1_ref, blk_raw, out_ref,
-    bso0, bso1, sems, d, row0: int, rows_out: int, k_last: int,
+    b, start, uqs, u_last, c0_ref, v0_ref, c1_ref, v1_ref,
+    cum_raw, val_raw, out_ref, cs0, vs0, cs1, vs1, sems, d, dd,
+    row0: int, rows_out: int, k_last: int,
 ):
     """Shared tile body: prefetched pair + overflow window walk.
 
-    The common case (the prefetched pair covers the tile) writes the
-    output directly; the walk lives behind ``pl.when`` with the output
-    block as its accumulator, so tiles that never overflow don't pay the
-    loop-carried dataflow. ``row0``/``rows_out`` select this tile's row
-    band of the output block (multi-tile instances write several bands).
-    Walk pointers clamp to ``k_last`` (== K-2): the final real pair holds
-    cum == 1.0, so it covers every remaining position and the loop
-    terminates in range; re-scanned windows are excluded by the
-    ``prev_last`` ordering guard.
+    The pipelined refs deliver RAW windows (cum [4,128] + values
+    [dd,4,128]); the hierarchical layout is built in-register
+    (``_build_block``) — replacing the XLA-side ``_prep_blocks`` pass,
+    which dominated the kernel's round-2 cost (BENCH_NOTES round-3
+    decomposition). The common case (the prefetched pair covers the
+    tile) writes the output directly; the walk lives behind ``pl.when``
+    with the output block as its accumulator, so tiles that never
+    overflow don't pay the loop-carried dataflow. ``row0``/``rows_out``
+    select this tile's row band of the output block. Walk pointers clamp
+    to ``k_last`` (== K-2): the final real pair holds cum == 1.0, so it
+    covers every remaining position and the loop terminates in range;
+    re-scanned windows are excluded by the ``prev_last`` ordering guard.
     """
-    blk0 = blk0_ref[0, 0]
-    blk1 = blk1_ref[0, 0]
+    blk0 = _build_block(c0_ref[0, 0], v0_ref[0, 0], dd)
+    blk1 = _build_block(c1_ref[0, 0], v1_ref[0, 0], dd)
     row1 = row0 + rows_out
     acc0 = jnp.zeros((rows_out, _LB), jnp.float32)
     acc1, covered0, pair_max0 = _pair_pick(
@@ -360,9 +477,13 @@ def _resolve_tile(
             step, prev_last, _cov = carry
             widx = jnp.minimum(step, k_last)
             copies = [
-                pltpu.make_async_copy(blk_raw.at[b, widx], bso0, sems.at[0]),
+                pltpu.make_async_copy(cum_raw.at[b, widx], cs0, sems.at[0]),
                 pltpu.make_async_copy(
-                    blk_raw.at[b, widx + 1], bso1, sems.at[1]
+                    cum_raw.at[b, widx + 1], cs1, sems.at[1]
+                ),
+                pltpu.make_async_copy(val_raw.at[b, widx], vs0, sems.at[2]),
+                pltpu.make_async_copy(
+                    val_raw.at[b, widx + 1], vs1, sems.at[3]
                 ),
             ]
             for c in copies:
@@ -370,7 +491,9 @@ def _resolve_tile(
             for c in copies:
                 c.wait()
             acc, covered, pair_max = _pair_pick(
-                bso0[:], bso1[:], uqs, u_last, prev_last,
+                _build_block(cs0[:], vs0[:], dd),
+                _build_block(cs1[:], vs1[:], dd),
+                uqs, u_last, prev_last,
                 out_ref[0, 0, row0:row1], d,
             )
             out_ref[0, 0, row0:row1] = acc
@@ -414,51 +537,6 @@ def _tiles_per_instance(k_tiles: int) -> int:
         if k_tiles % r == 0:
             return r
     return 1
-
-
-def _prep_blocks(cum: jax.Array, values: jax.Array):
-    """Hierarchical window blocks, one [B, K, rows, 128] array.
-
-    Per window (W=512 entries), rows are:
-      0:8    supercolumn-lasts broadcast (8 supercolumns of 64 entries,
-             each last value replicated across 128 lanes — stage-0
-             compares need no gathers)
-      8:16   lanes 0:64 = transposed CDF (column c = entries 8c..8c+7
-             down the sublanes); lanes 64:72 = transposed column-lasts
-             ([s, t] = last of column 8t+s); lanes 72:128 = zero pad
-      16:..  transposed values, two features per 8-row block (feature
-             2i at lanes 0:64, 2i+1 at 64:128)
-
-    No sentinel windows: pointers/walks clamp to the last real pair
-    (whose final entry is cum == 1.0 > every position).
-    """
-    b, s = cum.shape
-    d = values.shape[-1]
-    kw = s // W
-    scb = jnp.broadcast_to(
-        cum[:, 63::64].reshape(b, kw, _SC, 1), (b, kw, _SC, _LB)
-    )
-    colt = cum.reshape(b, kw, 64, 8).transpose(0, 1, 3, 2)  # [b,kw,8,64]
-    clt = (
-        cum[:, 7::8].reshape(b, kw, _SC, 8).transpose(0, 1, 3, 2)
-    )  # [b,kw,8,8]: [.., s, t] = last of column 8t+s
-    hdr = jnp.concatenate(
-        [colt, clt, jnp.zeros((b, kw, 8, 56), jnp.float32)], axis=3
-    )
-    dd = d + (d % 2)
-    v = values.astype(jnp.float32)
-    if dd != d:
-        v = jnp.concatenate(
-            [v, jnp.zeros((b, s, dd - d), jnp.float32)], axis=2
-        )
-    vt = (
-        v.reshape(b, kw, 64, 8, dd // 2, 2)
-        .transpose(0, 1, 4, 3, 5, 2)  # [b,kw,dd/2,8,2,64]
-        .reshape(b, kw, (dd // 2) * 8, _LB)
-    )
-    blocks = jnp.concatenate([scb, hdr, vt], axis=2)
-    rows = _HDR + (dd // 2) * 8
-    return blocks, rows
 
 
 def _unblock_out(out: jax.Array, b: int, s_out: int, d: int):
@@ -507,27 +585,49 @@ def systematic_resample_gather(
     )
     p = _window_pointers(cum, u_grid)  # [B, K] in [0, S/W - 2]
 
-    blocks, rows = _prep_blocks(cum, values)
+    cum_w, val_w, dd = _raw_windows(cum, values)
     nq = T // _LB
     rows_out = -(-(nq * d) // 8) * 8
     r = _tiles_per_instance(k_tiles)
     in_specs = []
+    operands = []
     for j in range(r):
         in_specs.append(
             pl.BlockSpec(
-                (1, 1, rows, _LB),
-                lambda bb, kk, u0r, pr, _j=j: (bb, pr[bb, kk * r + _j], 0, 0),
+                (1, 1, 4, _LB),
+                lambda bb, kk, u0r, pr, _j=j: (
+                    bb, pr[bb, kk * r + _j], 0, 0,
+                ),
             )
         )
         in_specs.append(
             pl.BlockSpec(
-                (1, 1, rows, _LB),
+                (1, 1, dd, 4, _LB),
+                lambda bb, kk, u0r, pr, _j=j: (
+                    bb, pr[bb, kk * r + _j], 0, 0, 0,
+                ),
+            )
+        )
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, 4, _LB),
                 lambda bb, kk, u0r, pr, _j=j: (
                     bb, pr[bb, kk * r + _j] + 1, 0, 0,
                 ),
             )
         )
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, dd, 4, _LB),
+                lambda bb, kk, u0r, pr, _j=j: (
+                    bb, pr[bb, kk * r + _j] + 1, 0, 0, 0,
+                ),
+            )
+        )
+        operands.extend([cum_w, val_w, cum_w, val_w])
     in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+    operands.extend([cum_w, val_w])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, k_tiles // r),
@@ -537,21 +637,23 @@ def systematic_resample_gather(
             lambda bb, kk, u0r, pr: (bb, kk, 0, 0),
         ),
         scratch_shapes=[
-            pltpu.VMEM((rows, _LB), jnp.float32),
-            pltpu.VMEM((rows, _LB), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, _LB), jnp.float32),
+            pltpu.VMEM((dd, 4, _LB), jnp.float32),
+            pltpu.VMEM((4, _LB), jnp.float32),
+            pltpu.VMEM((dd, 4, _LB), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     out = pl.pallas_call(
         functools.partial(
-            _srg_kernel, s=s, d=d, r=r, k_last=s // W - 2
+            _srg_kernel, s=s, d=d, dd=dd, r=r, k_last=s // W - 2
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (b, k_tiles // r, r * rows_out, _LB), jnp.float32
         ),
         interpret=interpret,
-    )(u0, p, *([blocks] * (2 * r)), blocks)
+    )(u0, p, *operands)
     out = out.reshape(b, k_tiles, rows_out, _LB)
     return _unblock_out(out, b, s, d).astype(values.dtype)
 
@@ -578,7 +680,7 @@ def sorted_gather(
     pos = jnp.clip(pos.astype(jnp.float32), 0.0, _POS_MAX)
     k_tiles = s_out // T
     p = _window_pointers(cum, pos[:, ::T])
-    blocks, rows = _prep_blocks(cum, values)
+    cum_w, val_w, dd = _raw_windows(cum, values)
     nq = T // _LB
     rows_out = -(-(nq * d) // 8) * 8
     r = _tiles_per_instance(k_tiles)
@@ -586,20 +688,42 @@ def sorted_gather(
     in_specs = [
         pl.BlockSpec((1, r, nq, _LB), lambda bb, kk, pr: (bb, kk, 0, 0)),
     ]
+    operands = [pos_blocks]
     for j in range(r):
         in_specs.append(
             pl.BlockSpec(
-                (1, 1, rows, _LB),
+                (1, 1, 4, _LB),
                 lambda bb, kk, pr, _j=j: (bb, pr[bb, kk * r + _j], 0, 0),
             )
         )
         in_specs.append(
             pl.BlockSpec(
-                (1, 1, rows, _LB),
-                lambda bb, kk, pr, _j=j: (bb, pr[bb, kk * r + _j] + 1, 0, 0),
+                (1, 1, dd, 4, _LB),
+                lambda bb, kk, pr, _j=j: (
+                    bb, pr[bb, kk * r + _j], 0, 0, 0,
+                ),
             )
         )
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, 4, _LB),
+                lambda bb, kk, pr, _j=j: (
+                    bb, pr[bb, kk * r + _j] + 1, 0, 0,
+                ),
+            )
+        )
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, dd, 4, _LB),
+                lambda bb, kk, pr, _j=j: (
+                    bb, pr[bb, kk * r + _j] + 1, 0, 0, 0,
+                ),
+            )
+        )
+        operands.extend([cum_w, val_w, cum_w, val_w])
     in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+    operands.extend([cum_w, val_w])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, k_tiles // r),
@@ -608,19 +732,23 @@ def sorted_gather(
             (1, 1, r * rows_out, _LB), lambda bb, kk, pr: (bb, kk, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((rows, _LB), jnp.float32),
-            pltpu.VMEM((rows, _LB), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, _LB), jnp.float32),
+            pltpu.VMEM((dd, 4, _LB), jnp.float32),
+            pltpu.VMEM((4, _LB), jnp.float32),
+            pltpu.VMEM((dd, 4, _LB), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_spg_kernel, d=d, r=r, k_last=s_in // W - 2),
+        functools.partial(
+            _spg_kernel, d=d, dd=dd, r=r, k_last=s_in // W - 2
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (b, k_tiles // r, r * rows_out, _LB), jnp.float32
         ),
         interpret=interpret,
-    )(p, pos_blocks, *([blocks] * (2 * r)), blocks)
+    )(p, *operands)
     out = out.reshape(b, k_tiles, rows_out, _LB)
     return _unblock_out(out, b, s_out, d).astype(values.dtype)
 
