@@ -86,10 +86,10 @@ class LikelihoodWeighting(DynamicMaskMethod):
         return sweep_pallas_available() or mode == "always"
 
     @staticmethod
-    def _fused_raw_fn(plan, cpds, s, vbn):
+    def _fused_raw_fn(plan, cpds, s, vbn, want=("logw",)):
         from ..ops.sweep_pallas import make_fused_sweep_fn
 
-        return make_fused_sweep_fn(plan, cpds, s)
+        return make_fused_sweep_fn(plan, cpds, s, want=want)
 
     def _dynamic_fn(self, plan, cpds, s, opts):
         """The one mask-dynamic program body (single + row-fused paths)."""

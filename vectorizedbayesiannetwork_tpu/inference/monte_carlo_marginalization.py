@@ -124,7 +124,7 @@ class MonteCarloMarginalization(DynamicMaskMethod):
         from .likelihood_weighting import LikelihoodWeighting
 
         raw = (
-            LikelihoodWeighting._fused_raw_fn(plan, cpds, s, vbn)
+            LikelihoodWeighting._fused_raw_fn(plan, cpds, s, vbn, ("lpt",))
             if LikelihoodWeighting._fused_gate(vbn)
             else None
         )

@@ -120,13 +120,14 @@ def _sweep_kernel(
     fixed_ref,  # SMEM [B, N] i32 evidence/do class values (scalar prefetch)
     tbl_ref,  # VMEM [total_rows, Cpad] f32 stacked counts
     u_ref,  # VMEM [1, N * TM, 128] f32 external uniforms, or None
-    logw_ref,  # out [1, TM, 128] f32
-    tgt_ref,  # out [1, TM, 128] f32 target class values
-    lpt_ref,  # out [1, TM, 128] f32 target log-prob (MCM pdf)
-    *,
+    *out_refs,  # [logw?] + [tgt] + [lpt?] blocks [1, TM, 128] f32 — the
+    #            want flags drop unneeded outputs AND their compute (LW
+    #            never reads lpt; MCM never reads logw)
     plan_tuple,
     tm: int,
     external_u: bool,
+    want_logw: bool,
+    want_lpt: bool,
 ):
     (
         n_nodes,
@@ -194,25 +195,30 @@ def _sweep_kernel(
                 cum = cum + col(j)
         vals[i] = val
 
-        if ev_mask[i] or i == target_idx:
+        if (ev_mask[i] and want_logw) or (i == target_idx and want_lpt):
             cnt_sel = jnp.where(val == 0, col(0), 0.0)
             for j in range(1, c):
                 cnt_sel = cnt_sel + jnp.where(val == j, col(j), 0.0)
             prob = cnt_sel / jnp.maximum(total, 1e-12)
             lp = jnp.log(jnp.maximum(prob, 1e-12))
-            if ev_mask[i]:
+            if ev_mask[i] and want_logw:
                 logw = logw + lp
-            if i == target_idx:
+            if i == target_idx and want_lpt:
                 lpt = lp
 
-    logw_ref[0] = logw
-    tgt_ref[0] = vals[target_idx].astype(jnp.float32)
-    lpt_ref[0] = lpt
+    oi = 0
+    if want_logw:
+        out_refs[oi][0] = logw
+        oi += 1
+    out_refs[oi][0] = vals[target_idx].astype(jnp.float32)
+    oi += 1
+    if want_lpt:
+        out_refs[oi][0] = lpt
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("plan_tuple", "n_samples", "interpret"),
+    static_argnames=("plan_tuple", "n_samples", "interpret", "want"),
 )
 def categorical_sweep_fused(
     key: jax.Array,
@@ -222,8 +228,11 @@ def categorical_sweep_fused(
     n_samples: int,
     interpret: bool = False,
     u_ext=None,  # [B, N, S] f32 external uniforms (interpret tests only)
+    want=("logw", "lpt"),  # which side outputs to compute+stream
 ):
-    """Returns (log_w [B, S], target_vals [B, S], lp_tgt [B, S])."""
+    """Returns (log_w [B, S] | None, target_vals [B, S],
+    lp_tgt [B, S] | None) — unwanted outputs cost neither compute nor
+    HBM writes (each is a full [B, S] stream)."""
     b, n = fixed_idx.shape
     s = n_samples
     tm = 8
@@ -252,8 +261,12 @@ def categorical_sweep_fused(
     seed = jax.random.bits(key, (1,), "uint32").astype(jnp.int32)
 
     external_u = u_ext is not None
+    want_logw = "logw" in want
+    want_lpt = "lpt" in want
+    n_out = 1 + int(want_logw) + int(want_lpt)
     kernel = functools.partial(
-        _sweep_kernel, plan_tuple=plan_tuple, tm=tm, external_u=external_u
+        _sweep_kernel, plan_tuple=plan_tuple, tm=tm, external_u=external_u,
+        want_logw=want_logw, want_lpt=want_lpt,
     )
     in_specs = [
         pl.BlockSpec(stacked_counts.shape, lambda bb, st, *_: (0, 0)),
@@ -280,26 +293,29 @@ def categorical_sweep_fused(
         grid=(b, s_tiles),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, tm, _LANE), lambda bb, st, *_: (bb, st, 0)),
-            pl.BlockSpec((1, tm, _LANE), lambda bb, st, *_: (bb, st, 0)),
-            pl.BlockSpec((1, tm, _LANE), lambda bb, st, *_: (bb, st, 0)),
+            pl.BlockSpec((1, tm, _LANE), lambda bb, st, *_: (bb, st, 0))
+            for _ in range(n_out)
         ],
     )
     out_shape = [
         jax.ShapeDtypeStruct((b, s_tiles * tm, _LANE), jnp.float32)
-        for _ in range(3)
+        for _ in range(n_out)
     ]
-    logw, tgt, lpt = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(seed, fixed_idx, *operands)
-    return (
-        logw.reshape(b, s),
-        tgt.reshape(b, s),
-        lpt.reshape(b, s),
-    )
+    outs = [o.reshape(b, s) for o in outs]
+    oi = 0
+    logw = lpt = None
+    if want_logw:
+        logw, oi = outs[oi], oi + 1
+    tgt, oi = outs[oi], oi + 1
+    if want_lpt:
+        lpt = outs[oi]
+    return logw, tgt, lpt
 
 
 def plan_tuple_for(plan, cpds):
@@ -376,14 +392,13 @@ def _lg_sweep_kernel(
     fixed_ref,  # SMEM [B, N] f32 evidence/do values (scalar prefetch)
     ptab_ref,  # VMEM [N, dmax + 2] f32 parameter table
     u_ref,  # VMEM [1, 2N * TM, 128] f32 external uniforms, or dummy
-    logw_ref,
-    tgt_ref,
-    lpt_ref,
-    *,
+    *out_refs,  # [logw?] + [tgt] + [lpt?] blocks [1, TM, 128]
     plan_tuple,
     dmax: int,
     tm: int,
     external_u: bool,
+    want_logw: bool,
+    want_lpt: bool,
 ):
     n_nodes, parent_idx, ev_mask, do_mask, target_idx = plan_tuple
     b = pl.program_id(0)
@@ -417,22 +432,27 @@ def _lg_sweep_kernel(
             val = loc + sigma * z
         vals[i] = val
 
-        if ev_mask[i] or i == target_idx:
+        if (ev_mask[i] and want_logw) or (i == target_idx and want_lpt):
             zz = (val - loc) / sigma
             lp = -0.5 * zz * zz - jnp.log(sigma) - _HALF_LOG_2PI
-            if ev_mask[i]:
+            if ev_mask[i] and want_logw:
                 logw = logw + lp
-            if i == target_idx:
+            if i == target_idx and want_lpt:
                 lpt = lp
 
-    logw_ref[0] = logw
-    tgt_ref[0] = vals[target_idx]
-    lpt_ref[0] = lpt
+    oi = 0
+    if want_logw:
+        out_refs[oi][0] = logw
+        oi += 1
+    out_refs[oi][0] = vals[target_idx]
+    oi += 1
+    if want_lpt:
+        out_refs[oi][0] = lpt
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("plan_tuple", "dmax", "n_samples", "interpret"),
+    static_argnames=("plan_tuple", "dmax", "n_samples", "interpret", "want"),
 )
 def lg_sweep_fused(
     key: jax.Array,
@@ -443,8 +463,10 @@ def lg_sweep_fused(
     n_samples: int,
     interpret: bool = False,
     u_ext=None,  # [B, 2N, S] f32 external uniforms (interpret tests only)
+    want=("logw", "lpt"),
 ):
-    """Returns (log_w [B, S], target_vals [B, S], lp_tgt [B, S])."""
+    """Returns (log_w | None, target_vals, lp_tgt | None) — see
+    ``categorical_sweep_fused``."""
     b, n = fixed_vals.shape
     s = n_samples
     tm = 8
@@ -458,12 +480,17 @@ def lg_sweep_fused(
     seed = jax.random.bits(key, (1,), "uint32").astype(jnp.int32)
 
     external_u = u_ext is not None
+    want_logw = "logw" in want
+    want_lpt = "lpt" in want
+    n_out = 1 + int(want_logw) + int(want_lpt)
     kernel = functools.partial(
         _lg_sweep_kernel,
         plan_tuple=plan_tuple,
         dmax=dmax,
         tm=tm,
         external_u=external_u,
+        want_logw=want_logw,
+        want_lpt=want_lpt,
     )
     in_specs = [
         pl.BlockSpec(param_table.shape, lambda bb, st, *_: (0, 0)),
@@ -492,31 +519,40 @@ def lg_sweep_fused(
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, tm, _LANE), lambda bb, st, *_: (bb, st, 0))
-            for _ in range(3)
+            for _ in range(n_out)
         ],
     )
     out_shape = [
         jax.ShapeDtypeStruct((b, s_tiles * tm, _LANE), jnp.float32)
-        for _ in range(3)
+        for _ in range(n_out)
     ]
-    logw, tgt, lpt = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(seed, fixed_vals, *operands)
-    return logw.reshape(b, s), tgt.reshape(b, s), lpt.reshape(b, s)
+    outs = [o.reshape(b, s) for o in outs]
+    oi = 0
+    logw = lpt = None
+    if want_logw:
+        logw, oi = outs[oi], oi + 1
+    tgt, oi = outs[oi], oi + 1
+    if want_lpt:
+        lpt = outs[oi]
+    return logw, tgt, lpt
 
 
 # ---------------------------------------------------------------------------
 # Program-level builder shared by LW / MCM static paths
 # ---------------------------------------------------------------------------
 
-def make_fused_sweep_fn(plan, cpds, n_samples: int):
+def make_fused_sweep_fn(plan, cpds, n_samples: int, want=("logw", "lpt")):
     """Return ``raw(params_tuple, key, fixed) -> (logw, tgt, lpt)`` using
     the family-matched fused kernel, or None when unsupported. ``fixed``
     is the packed [B, total_dim] float evidence/do array (total_dim ==
-    n_nodes under both gates)."""
+    n_nodes under both gates). ``want`` drops unneeded side outputs and
+    their compute/HBM streams (LW wants only "logw", MCM only "lpt")."""
     if categorical_sweep_supported(plan, cpds, n_samples):
         plan_struct, total_rows, cmax = plan_tuple_for(plan, cpds)
         cards = jnp.asarray(
@@ -531,7 +567,7 @@ def make_fused_sweep_fn(plan, cpds, n_samples: int):
             )
             counts = _stacked_counts(cpds, params_tuple, total_rows, cmax)
             return categorical_sweep_fused(
-                key, fixed_i, counts, plan_struct, n_samples
+                key, fixed_i, counts, plan_struct, n_samples, want=want
             )
 
         return raw_cat
@@ -548,6 +584,7 @@ def make_fused_sweep_fn(plan, cpds, n_samples: int):
                 plan_struct,
                 dmax,
                 n_samples,
+                want=want,
             )
 
         return raw_lg
