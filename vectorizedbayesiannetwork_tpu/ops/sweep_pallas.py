@@ -238,8 +238,8 @@ def categorical_sweep_fused(
     tm = 8
     # scale the particle block so the grid stays coarse (instance count
     # ~ B * S / (TM * 128)); cap VMEM at ~2 MB of per-node value blocks
-    while tm < 128 and (s // (_LANE * tm)) * b > 4096 and (
-        n * tm * 2 * _LANE * 4 <= (2 << 20)
+    while tm < 1024 and (s // (_LANE * tm)) * b > 4096 and (
+        n * tm * 2 * _LANE * 4 <= (6 << 20)
     ):
         tm *= 2
     while s % (tm * _LANE) != 0:
@@ -470,8 +470,8 @@ def lg_sweep_fused(
     b, n = fixed_vals.shape
     s = n_samples
     tm = 8
-    while tm < 128 and (s // (_LANE * tm)) * b > 4096 and (
-        n * tm * 2 * _LANE * 4 <= (2 << 20)
+    while tm < 1024 and (s // (_LANE * tm)) * b > 4096 and (
+        n * tm * 2 * _LANE * 4 <= (6 << 20)
     ):
         tm *= 2
     while s % (tm * _LANE) != 0:
