@@ -88,9 +88,31 @@ def exact_posterior(
             if var in f.variables:
                 f = f.reduce(var, idx)
         factors.append(f)
-    # eliminate everything except the target, min-degree-ish ordering
-    elim = [n for n in bn.topological_order() if n != target and n not in evidence]
-    for var in elim:
+    # Greedy min-weight elimination: at each step eliminate the variable
+    # whose product factor is smallest. The previous topological-order
+    # elimination blew past _MAX_FACTOR_SIZE on 54/96 insurance queries
+    # (the round-3 midsize artifact's only failures — the oracle backend,
+    # not the framework); min-weight answers all of them.
+    cards = {n: bn.card(n) for n in bn.nodes}
+
+    def _elim_weight(var):
+        union = {var}
+        for f in factors:
+            if var in f.variables:
+                union.update(f.variables)
+        w = 1
+        for v in union:
+            w *= cards[v]
+        return w
+
+    elim = {
+        n
+        for n in bn.nodes
+        if n != target and n not in evidence
+    }
+    while elim:
+        var = min(elim, key=_elim_weight)
+        elim.discard(var)
         related = [f for f in factors if var in f.variables]
         if not related:
             continue
