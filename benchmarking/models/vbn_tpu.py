@@ -46,6 +46,7 @@ class VBNTpuBenchmarkModel(BaseBenchmarkModel):
         # cold one-off query after warmup) reuses ONE compiled program.
         self.fused_bucket = int((config or {}).get("fused_bucket", 256))
         self.warmup_ms: Optional[float] = None
+        self.fit_compile_ms: Optional[float] = None
 
     def _build_nodes_cpds(self) -> Dict[str, Dict]:
         from vectorizedbayesiannetwork_tpu import defaults
@@ -106,7 +107,15 @@ class VBNTpuBenchmarkModel(BaseBenchmarkModel):
             or {"name": "likelihood_weighting", "n_samples": 2048}
         )
         inf_name = inf_conf.pop("name")
+        # fit compile/steady split (round-3 VERDICT next #2): the first
+        # fit pays any residual XLA compiles (zero after a warm
+        # persistent cache, core/cache.py); a second identical fit
+        # measures steady fit compute. fit_ms reports STEADY; the
+        # one-time cost is fit_compile_ms (like warmup_ms). Reference
+        # timing anchor: /root/reference/benchmarking/models/base.py:58-62.
+        _, ms_first = self._timed(self.vbn.fit, data)
         _, ms = self._timed(self.vbn.fit, data)
+        self.fit_compile_ms = max(0.0, ms_first - ms)
         self.vbn.set_inference_method(inf_name, **inf_conf)
         if self._dynamic_fusable():
             # Warm the one mask-dynamic program at the serving bucket so

@@ -290,6 +290,9 @@ class BenchmarkRunner:
                 warmup_ms = getattr(model, "warmup_ms", None)
                 if warmup_ms is not None:
                     psum[cfg.config_id]["warmup_ms"] = warmup_ms
+                fit_compile_ms = getattr(model, "fit_compile_ms", None)
+                if fit_compile_ms is not None:
+                    psum[cfg.config_id]["fit_compile_ms"] = fit_compile_ms
             summary["problems"][problem] = psum
         summary["errors"] = errors.counts()
         log_dir = self.bundle.dir("logs")

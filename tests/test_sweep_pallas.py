@@ -127,7 +127,7 @@ def test_matches_numpy_reference(fitted):
         if plan.evidence_mask[i]:
             name = plan.topo_order[i]
             fixed_idx[:, i] = 1 if name == "smoke" else 0
-    logw, tgt, lpt = categorical_sweep_fused(
+    logw, tgt, lpt, _red = categorical_sweep_fused(
         jax.random.PRNGKey(0),
         jnp.asarray(fixed_idx),
         counts,
@@ -157,7 +157,7 @@ def test_posterior_matches_exact(fitted):
     for i in range(plan.n_nodes):
         if plan.topo_order[i] == "smoke":
             fixed_idx[0, i] = 1
-    logw, tgt, _ = categorical_sweep_fused(
+    logw, tgt, _, _red = categorical_sweep_fused(
         jax.random.PRNGKey(0),
         jnp.asarray(fixed_idx),
         counts,
@@ -224,7 +224,7 @@ def test_lg_matches_numpy_reference(lg_fitted):
     for i in range(n):
         if plan.evidence_mask[i]:
             fixed[:, i] = 0.5
-    logw, tgt, lpt = lg_sweep_fused(
+    logw, tgt, lpt, _red = lg_sweep_fused(
         jax.random.PRNGKey(0),
         jnp.asarray(fixed),
         ptab,
@@ -287,7 +287,7 @@ def test_lg_posterior_matches_closed_form(lg_fitted):
     for i in range(n):
         if plan.evidence_mask[i]:
             fixed[:, i] = 0.5
-    logw, tgt, _ = lg_sweep_fused(
+    logw, tgt, _, _red = lg_sweep_fused(
         jax.random.PRNGKey(1),
         jnp.asarray(fixed),
         ptab,
@@ -308,3 +308,258 @@ def test_lg_posterior_matches_closed_form(lg_fitted):
         p_mean = 0.5 if plan.evidence_mask[p] else pt[p, dmax]
         expect += pt[t, k] * p_mean
     assert abs(mean - expect) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# In-kernel posterior reductions (round-3 VERDICT next #3)
+# ---------------------------------------------------------------------------
+
+def test_pmf_reduction_matches_streams(fitted):
+    """want=('pmf_logw',) must equal the host-side weighted histogram of
+    the streamed (logw, tgt) outputs at identical uniforms."""
+    bn, vbn, plan, cpds, params = fitted
+    plan_struct, total_rows, cmax = plan_tuple_for(plan, cpds)
+    counts = _stacked_counts(cpds, params, total_rows, cmax)
+    rng = np.random.default_rng(7)
+    u = rng.uniform(1e-6, 1 - 1e-6, size=(B, plan.n_nodes, S)).astype(
+        np.float32
+    )
+    fixed_idx = np.zeros((B, plan.n_nodes), np.int32)
+    for i in range(plan.n_nodes):
+        if plan.evidence_mask[i] and plan.topo_order[i] == "smoke":
+            fixed_idx[:, i] = 1
+    logw, tgt, _, _ = categorical_sweep_fused(
+        jax.random.PRNGKey(0), jnp.asarray(fixed_idx), counts,
+        plan_struct, S, interpret=True, u_ext=jnp.asarray(u),
+        want=("logw", "tgt"),
+    )
+    _, _, _, red = categorical_sweep_fused(
+        jax.random.PRNGKey(0), jnp.asarray(fixed_idx), counts,
+        plan_struct, S, interpret=True, u_ext=jnp.asarray(u),
+        want=("pmf_logw",),
+    )
+    sums, m = np.asarray(red[0]), np.asarray(red[1])
+    logw_np, tgt_np = np.asarray(logw), np.asarray(tgt)
+    tcard = cpds[plan.target_idx].resolved_classes
+    # host-side reference: pmf_c = sum_s exp(logw - m) [tgt == c]
+    for bi in range(B):
+        w = np.exp(logw_np[bi].astype(np.float64) - m[bi])
+        for c in range(tcard):
+            expect = w[tgt_np[bi] == c].sum()
+            np.testing.assert_allclose(
+                sums[bi, c], expect, rtol=2e-4, err_msg=f"b={bi} c={c}"
+            )
+    # lanes past the target's support stay zero (unnormalized rows)
+    assert np.allclose(sums[:, tcard:], 0.0)
+
+
+def test_lg_moments_reduction_matches_streams(lg_fitted):
+    from vectorizedbayesiannetwork_tpu.ops.sweep_pallas import (
+        lg_param_table,
+        lg_plan_tuple_for,
+        lg_sweep_fused,
+    )
+
+    vbn, plan, cpds, params = lg_fitted
+    plan_struct, dmax = lg_plan_tuple_for(plan, cpds)
+    ptab = lg_param_table(cpds, params, dmax, tuple(c.min_scale for c in cpds))
+    rng = np.random.default_rng(13)
+    n = plan.n_nodes
+    u = rng.uniform(1e-6, 1 - 1e-6, size=(B, 2 * n, S)).astype(np.float32)
+    fixed = np.zeros((B, n), np.float32)
+    for i in range(n):
+        if plan.evidence_mask[i]:
+            fixed[:, i] = 0.5
+    logw, tgt, _, _ = lg_sweep_fused(
+        jax.random.PRNGKey(0), jnp.asarray(fixed), ptab, plan_struct,
+        dmax, S, interpret=True, u_ext=jnp.asarray(u),
+        want=("logw", "tgt"),
+    )
+    _, _, _, red = lg_sweep_fused(
+        jax.random.PRNGKey(0), jnp.asarray(fixed), ptab, plan_struct,
+        dmax, S, interpret=True, u_ext=jnp.asarray(u), want=("mom_logw",),
+    )
+    sums, m = np.asarray(red[0]), np.asarray(red[1])
+    logw_np = np.asarray(logw).astype(np.float64)
+    x = np.asarray(tgt).astype(np.float64)
+    for bi in range(B):
+        e = np.exp(logw_np[bi] - m[bi])
+        np.testing.assert_allclose(sums[bi, 0], e.sum(), rtol=2e-4)
+        np.testing.assert_allclose(sums[bi, 1], (e * x[bi]).sum(), rtol=2e-3)
+        np.testing.assert_allclose(
+            sums[bi, 2], (e * x[bi] ** 2).sum(), rtol=2e-3
+        )
+    # weighted mean/std against the stream-derived values
+    mean = sums[:, 1] / sums[:, 0]
+    w = np.exp(logw_np - m[:, None])
+    ref_mean = (w * x).sum(1) / w.sum(1)
+    np.testing.assert_allclose(mean, ref_mean, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Mesh composition via shard_map (round-3 VERDICT next #1)
+# ---------------------------------------------------------------------------
+
+def _fused_fn_for(vbn, query, s, want, mesh):
+    from vectorizedbayesiannetwork_tpu.ops.sweep_pallas import (
+        make_fused_sweep_fn,
+    )
+
+    plan = get_plan(vbn, query)
+    cpds = tuple(vbn.cpd_spec(n) for n in plan.topo_order)
+    params = tuple(vbn.params[n] for n in plan.topo_order)
+    b = next(iter(query.evidence.values())).shape[0]
+    raw = make_fused_sweep_fn(
+        plan, cpds, s, want=want, mesh=mesh, batch=b
+    )
+    return raw, plan, params
+
+
+def test_sharded_fused_sweep_matches_exact(fitted):
+    """The fused kernel under an 8-device ('data','particle') CPU mesh
+    (interpret mode): per-shard draws, pmax/psum-combined pmf reduction;
+    posterior must match exact enumeration statistically and the
+    unsharded kernel's posterior within MC error."""
+    from vectorizedbayesiannetwork_tpu.parallel.mesh import make_mesh
+
+    bn, vbn, plan, cpds, params = fitted
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(n_data=2, devices=jax.devices()[:8])
+    s = 1 << 14
+    bq = 4
+    query = Query(
+        target="dysp",
+        evidence={
+            "smoke": np.ones((bq, 1), np.float32),
+            "asia": np.zeros((bq, 1), np.float32),
+        },
+        do={},
+    )
+    raw_sh, plan_q, params_q = _fused_fn_for(
+        vbn, query, s, ("pmf_logw",), mesh
+    )
+    raw_un, _, _ = _fused_fn_for(vbn, query, s, ("pmf_logw",), None)
+    assert raw_sh is not None and raw_un is not None
+    from vectorizedbayesiannetwork_tpu.core.plan import pack_fixed_values
+
+    fixed = pack_fixed_values(query, plan_q, bq, clamp_obs=True)
+    _, _, _, red_sh = jax.jit(raw_sh)(
+        params_q, jax.random.PRNGKey(0), fixed
+    )
+    _, _, _, red_un = jax.jit(raw_un)(
+        params_q, jax.random.PRNGKey(0), fixed
+    )
+    pmf_sh = np.asarray(red_sh[0])[:, :2]
+    pmf_sh = pmf_sh / pmf_sh.sum(axis=1, keepdims=True)
+    pmf_un = np.asarray(red_un[0])[:, :2]
+    pmf_un = pmf_un / pmf_un.sum(axis=1, keepdims=True)
+    exact = exact_posterior(bn, "dysp", {"smoke": 1, "asia": 0})
+    assert abs(pmf_sh[0, 1] - float(exact[1])) < 0.05
+    assert abs(pmf_sh[0, 1] - pmf_un[0, 1]) < 0.04
+    # every batch row answers the same query: rows agree to MC error
+    assert np.ptp(pmf_sh[:, 1]) < 0.05
+
+
+def test_sharded_fused_streams_finite(fitted):
+    """Stream outputs ([B, S] logw/tgt) under the mesh: correct global
+    shapes, finite, and weighted posterior still matches enumeration."""
+    from vectorizedbayesiannetwork_tpu.parallel.mesh import make_mesh
+
+    bn, vbn, plan, cpds, params = fitted
+    mesh = make_mesh(n_data=2, devices=jax.devices()[:8])
+    s = 1 << 14
+    bq = 2
+    query = Query(
+        target="dysp",
+        evidence={"smoke": np.ones((bq, 1), np.float32)},
+        do={},
+    )
+    raw, plan_q, params_q = _fused_fn_for(vbn, query, s, ("logw",), mesh)
+    assert raw is not None
+    from vectorizedbayesiannetwork_tpu.core.plan import pack_fixed_values
+
+    fixed = pack_fixed_values(query, plan_q, bq, clamp_obs=True)
+    logw, tgt, _, _ = jax.jit(raw)(params_q, jax.random.PRNGKey(3), fixed)
+    assert logw.shape == (bq, s) and tgt.shape == (bq, s)
+    logw_np, tgt_np = np.asarray(logw), np.asarray(tgt)
+    assert np.isfinite(logw_np).all()
+    w = np.exp(logw_np[0] - logw_np[0].max())
+    p1 = float(w[tgt_np[0] > 0.5].sum() / w.sum())
+    exact = exact_posterior(bn, "dysp", {"smoke": 1})
+    assert abs(p1 - float(exact[1])) < 0.05
+
+
+def test_gate_reason_and_log(fitted, capsys):
+    """Near-miss configs produce a one-line path/reason diagnostic
+    (round-3 VERDICT next #9)."""
+    import os
+
+    from vectorizedbayesiannetwork_tpu.ops.sweep_pallas import (
+        categorical_sweep_reason,
+        make_fused_sweep_fn,
+    )
+
+    bn, vbn, plan, cpds, params = fitted
+    assert categorical_sweep_reason(plan, cpds, 2048) is None
+    r = categorical_sweep_reason(plan, cpds, 1000)
+    assert r is not None and "1024" in r
+    os.environ["VBN_SWEEP_LOG"] = "1"
+    try:
+        assert make_fused_sweep_fn(plan, cpds, 1000) is None
+        out = capsys.readouterr().out
+        assert "[fused-sweep]" in out and "path=xla" in out
+        assert "1024" in out
+        assert make_fused_sweep_fn(plan, cpds, 2048) is not None
+        out = capsys.readouterr().out
+        assert "path=pallas-categorical" in out
+    finally:
+        del os.environ["VBN_SWEEP_LOG"]
+
+
+# ---------------------------------------------------------------------------
+# Static fused pmf/moments serving through the public API
+# ---------------------------------------------------------------------------
+
+def test_static_fused_pmf_serving(fitted, monkeypatch):
+    """vbn.infer_posterior_pmf on a NON-dynamic LW method rides the
+    in-kernel reduction (interpret mode via VBN_FUSED_SWEEP=always)."""
+    bn, vbn, plan, cpds, params = fitted
+    monkeypatch.setenv("VBN_FUSED_SWEEP", "always")
+    vbn.set_inference_method("likelihood_weighting", n_samples=1 << 14)
+    q = {
+        "target": "dysp",
+        "evidence": {
+            "smoke": np.ones((4, 1), np.float32),
+            "asia": np.zeros((4, 1), np.float32),
+        },
+    }
+    out = vbn.infer_posterior_pmf([q], n_classes=2)
+    assert out is not None
+    pmf, spans = out
+    assert pmf.shape == (4, 2)
+    assert len(spans) == 1 and spans[0][:2] == (0, 4)
+    pmf = pmf / pmf.sum(axis=1, keepdims=True)
+    exact = exact_posterior(bn, "dysp", {"smoke": 1, "asia": 0})
+    assert abs(pmf[0, 1] - float(exact[1])) < 0.05
+
+
+def test_static_fused_moments_serving(lg_fitted, monkeypatch):
+    """vbn.infer_posterior_moments on a NON-dynamic MCM method: the
+    in-kernel (sum_w, sum_wx, sum_wx2) reduction must agree with the
+    stream path's _posterior_stats within MC error."""
+    vbn, plan, cpds, params = lg_fitted
+    q = {
+        "target": "x2",
+        "evidence": {"x0": np.full((2, 1), 0.5, np.float32)},
+    }
+    monkeypatch.setenv("VBN_FUSED_SWEEP", "always")
+    vbn.set_inference_method("monte_carlo_marginalization", n_samples=1 << 14)
+    out = vbn.infer_posterior_moments([q])
+    assert out is not None
+    mom, spans = out
+    assert mom.shape == (2, 2)
+    monkeypatch.setenv("VBN_FUSED_SWEEP", "never")
+    w, smp = vbn.infer_posterior(q)
+    stats = vbn._posterior_stats(w, smp)
+    assert abs(mom[0, 0] - float(np.asarray(stats["mean"])[0, 0])) < 0.05
+    assert abs(mom[0, 1] - float(np.asarray(stats["std"])[0, 0])) < 0.05

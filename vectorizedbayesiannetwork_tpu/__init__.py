@@ -10,6 +10,13 @@ Importing this package populates the component registries (parity:
 ``vbn/__init__.py:1-44``).
 """
 
+from .core.cache import enable_compilation_cache
+
+# Persistent XLA compilation cache: a second process serving the same
+# network skips every multi-second compile (VBN_COMPILATION_CACHE=0 to
+# disable; see core/cache.py).
+enable_compilation_cache()
+
 from .core.base import BaseCPD, CPDOutput, Query
 from .core.dag import DynamicDAG, StaticDAG, TemporalDAG
 from .core.handle import CPDHandle

@@ -84,16 +84,92 @@ class DynamicMaskMethod(CompiledMethod):
 
     dynamic_tag = "dyn"
     pack_clamp_obs = False  # whether evidence values sanitize at pack time
+    # Weight source for the STATIC fused-kernel posterior reductions
+    # ("logw" = evidence weights / LW, "lpt" = target density / MCM,
+    # None = no static reduction path). See _static_fused_reduce.
+    _static_red_src = None
 
     @property
     def fused_pmf_capable(self) -> bool:
         """Whether ``infer_posterior_pmf`` will serve (vs return None)."""
-        return bool(getattr(self, "dynamic_masks", False))
+        return bool(
+            getattr(self, "dynamic_masks", False) or self._static_red_src
+        )
 
     @property
     def fused_moments_capable(self) -> bool:
         """Whether ``infer_posterior_moments`` will serve (vs return None)."""
-        return bool(getattr(self, "dynamic_masks", False))
+        return bool(
+            getattr(self, "dynamic_masks", False) or self._static_red_src
+        )
+
+    def _static_fused_reduce(self, vbn, queries, kind, n_classes, kwargs):
+        """Per-query fused-kernel posterior reductions on STATIC plans.
+
+        The whole sweep AND the posterior summary run inside the Pallas
+        kernel (``want="pmf_*"/"mom_*"``, ops/sweep_pallas.py): nothing
+        per-particle ever reaches HBM, and only a [B, k] (or [B, 2])
+        row block crosses to host — the in-kernel version of the
+        reference's weighted-histogram epilogue
+        (``/root/reference/benchmarking/models/vbn.py:202-242``) and
+        posterior-moments epilogue (``/root/reference/vbn/vbn.py:483-504``).
+        Returns None when the fused kernel does not apply (caller falls
+        back to the stream path). Dispatches all queries before the
+        first fetch so device work overlaps host-side numpy epilogues.
+        """
+        src = self._static_red_src
+        if src is None:
+            return None
+        from .likelihood_weighting import LikelihoodWeighting
+
+        if not LikelihoodWeighting._fused_gate(vbn):
+            return None
+        s = int(kwargs.get("n_samples", self.n_samples))
+        want = (f"{kind}_{src}",)
+        pending = []
+        for q in queries:
+            plan, b = self._plan_and_batch(vbn, q)
+            cpds = self._cpds(vbn, plan)
+            fixed = pack_fixed_values(
+                q, plan, b, clamp_obs=self.pack_clamp_obs
+            )
+            raw = LikelihoodWeighting._fused_raw_fn(
+                plan, cpds, s, vbn, want, batch=b
+            )
+            if raw is None:
+                return None
+
+            def build(_raw=raw):
+                def fn(params_tuple, key, fixed_vals):
+                    _lw, _tg, _lp, red = _raw(params_tuple, key, fixed_vals)
+                    return red  # (sums [B, 128], max_shift [B])
+
+                return fn
+
+            prog = self._compiled(
+                vbn, plan, (self.dynamic_tag, "sred", kind, src, s), build
+            )
+            red = prog(
+                self._params_tuple(vbn, plan), vbn.next_key_spec(), fixed
+            )
+            pending.append((red, plan, b))
+        # ONE batched device->host transfer for the whole query list (a
+        # per-array fetch pays a full link round-trip each on the remote
+        # TPU runtime; the rows are kilobytes).
+        fetched = jax.device_get([red[0] for red, _, _ in pending])
+        rows, spans, at = [], [], 0
+        for sums, (_red, plan, b) in zip(fetched, pending):
+            sums = np.asarray(sums).astype(np.float64)
+            if kind == "pmf":
+                rows.append(sums[:, : int(n_classes)])
+            else:
+                s0 = np.maximum(sums[:, 0], 1e-30)
+                mean = sums[:, 1] / s0
+                var = np.maximum(sums[:, 2] / s0 - mean**2, 0.0)
+                rows.append(np.stack([mean, np.sqrt(var)], axis=1))
+            spans.append((at, at + b, plan.target_idx))
+            at += b
+        return np.concatenate(rows, axis=0), spans
 
     def _dynamic_enabled(self, kwargs) -> bool:
         return bool(
@@ -194,10 +270,12 @@ class DynamicMaskMethod(CompiledMethod):
         query's true class support (semantics stay in one place).
 
         Returns ``(pmf [b_tot, n_classes] numpy, spans)`` or None when the
-        method is not running in dynamic-mask mode.
+        method has neither a dynamic-mask nor a static fused-kernel path.
         """
         if not self._dynamic_enabled(kwargs):
-            return None
+            return self._static_fused_reduce(
+                vbn, queries, "pmf", n_classes, kwargs
+            )
         k = int(n_classes)
         s = int(kwargs.get("n_samples", self.n_samples))
         opts = self._dynamic_opts(kwargs)
@@ -265,10 +343,13 @@ class DynamicMaskMethod(CompiledMethod):
         (normalized weights with in-graph uniform fallback, exactly the
         ``VBN._posterior_stats`` semantics), so a serving batch fetches a
         ``[B, 2]`` array instead of the particle cloud. Returns
-        ``(moments [b_tot, 2], spans)`` or None outside dynamic-mask mode.
+        ``(moments [b_tot, 2], spans)`` or None when the method has
+        neither a dynamic-mask nor a static fused-kernel path.
         """
         if not self._dynamic_enabled(kwargs):
-            return None
+            return self._static_fused_reduce(
+                vbn, queries, "mom", None, kwargs
+            )
         s = int(kwargs.get("n_samples", self.n_samples))
         opts = self._dynamic_opts(kwargs)
         plan = self._canonical_plan(vbn)

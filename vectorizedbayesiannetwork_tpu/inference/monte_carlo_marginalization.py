@@ -25,6 +25,7 @@ from ._sweep import node_values, sweep_trace, target_log_prob
 class MonteCarloMarginalization(DynamicMaskMethod):
     dynamic_tag = "mcm_dyn"
     pack_clamp_obs = False
+    _static_red_src = "lpt"  # fused in-kernel pmf/moments reductions
 
     def __init__(
         self, n_samples: int = 200, dynamic_masks: bool = False, **_kwargs
@@ -124,7 +125,9 @@ class MonteCarloMarginalization(DynamicMaskMethod):
         from .likelihood_weighting import LikelihoodWeighting
 
         raw = (
-            LikelihoodWeighting._fused_raw_fn(plan, cpds, s, vbn, ("lpt",))
+            LikelihoodWeighting._fused_raw_fn(
+                plan, cpds, s, vbn, ("lpt",), batch=b
+            )
             if LikelihoodWeighting._fused_gate(vbn)
             else None
         )
@@ -133,7 +136,7 @@ class MonteCarloMarginalization(DynamicMaskMethod):
             # evidence/do without weighting and exponentiates the
             # target's log-density — exactly the kernel's lpt output.
             def fn(params_tuple, key, fixed_vals):
-                _logw, tgt, lpt = raw(params_tuple, key, fixed_vals)
+                _logw, tgt, lpt, _red = raw(params_tuple, key, fixed_vals)
                 return jnp.exp(lpt), tgt[:, :, None]
         else:
             def fn(params_tuple, key, fixed_vals):

@@ -71,7 +71,24 @@ def build_cpd(node: str, conf: Dict, input_dim: int, output_dim: int, seed: int)
 
 @register_learning("node_wise")
 class NodeWiseLearner:
-    def __init__(self, default_cpd: str = "gaussian_nn", **_kwargs) -> None:
+    def __init__(self, default_cpd: str = "gaussian_nn", **kwargs) -> None:
+        # Training hyperparameters live ONLY in per-CPD 'fit'/'update'
+        # sub-dicts — parity with the reference's method-level guard
+        # (/root/reference/vbn/learning/node_wise.py:29-45).
+        bad = sorted(set(kwargs) & TRAINING_KEYS)
+        if bad:
+            raise ValueError(
+                "node_wise learning config cannot include training "
+                f"hyperparameters ({bad}); move them into each node's CPD "
+                "config under 'fit'/'update'."
+            )
+        unknown = sorted(set(kwargs) - {"show_progress", "verbosity"})
+        if unknown:
+            raise ValueError(
+                "node_wise learning config only supports orchestration keys "
+                f"['show_progress', 'verbosity']; unknown: {unknown}. Move "
+                "CPD init/training parameters into each node's CPD config."
+            )
         self.default_cpd = default_cpd
 
     def fit(

