@@ -110,6 +110,12 @@ def robust_summary(values) -> Dict[str, float]:
         "iqr_std": iqr_std(v),
         "mean": float(np.mean(finite)) if finite.size else float("nan"),
         "std": float(np.std(finite)) if finite.size else float("nan"),
+        # median: the aggregation statistic for TIMING columns — host
+        # contention puts heavy one-sided outliers into wall-clock rows
+        # (round-3 VERDICT weak #4: the same workload measured 4.1 vs
+        # 180.4 ms across runs), which contaminate the mean and even the
+        # IQM when a whole flush lands on a loaded host.
+        "median": float(np.median(finite)) if finite.size else float("nan"),
         "n": int(finite.size),
     }
 

@@ -163,6 +163,16 @@ _add(ModelBenchmarkConfig(
     cpd=ComponentSpec.make("linear_gaussian"),
     inference=ComponentSpec.make("likelihood_weighting", n_samples=4096),
 ))
+# KDE parity row (round-3 VERDICT next #6): vbn_kde_lw_dyn's residual KL
+# (0.011-0.021 on gauss8/16 vs ~0.0008 for linear-Gaussian CPDs) needs a
+# same-queries reference row through the torch KDE CPD
+# (/root/reference/vbn/cpds/kde.py:68-182) to show whether the gap is
+# inherent to conditional-KDE smoothing or a defect in ours.
+_add(ModelBenchmarkConfig(
+    "ref_vbn_kde", "reference_vbn",
+    cpd=ComponentSpec.make("kde", max_points=2048),
+    inference=ComponentSpec.make("likelihood_weighting", n_samples=2048),
+))
 
 # -- clgaussian (mixed discrete/continuous) presets --------------------------
 _NN_FIT = {"epochs": 60, "batch_size": 512, "lr": 3e-3}

@@ -47,13 +47,19 @@ class ReferenceVBNModel(BaseBenchmarkModel):
         g.add_nodes_from(self.domain["nodes"])
         g.add_edges_from([tuple(e) for e in self.domain["edges"]])
         self.vbn = self._VBN(g, seed=self.seed, device="cpu")
+        cpd_cfg = dict(self.config.get("cpd") or {})
+        cpd_name = cpd_cfg.pop("name", "linear_gaussian")
+        cpd_fit = cpd_cfg.pop("fit", None)
         nodes_cpds = {}
         for node, info in self.domain["nodes"].items():
             if "n_classes" not in info:  # continuous node
-                cpd_name = (self.config.get("cpd") or {}).get(
-                    "name", "linear_gaussian"
-                )
                 conf = self._defaults.cpd(cpd_name)
+                # forward init kwargs (e.g. kde max_points) and fit
+                # overrides so parity rows run the reference CPD at the
+                # same hyperparameters as the TPU backend's preset
+                conf.update(cpd_cfg)
+                if cpd_fit:
+                    conf.setdefault("fit", {}).update(cpd_fit)
             else:
                 conf = self._defaults.cpd("categorical_table")
                 conf["n_classes"] = int(info["n_classes"])

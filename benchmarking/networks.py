@@ -264,6 +264,19 @@ def _midsize(name):
     return make
 
 
+def _large(name):
+    def make():
+        from .large_discrete import hailfinder, hepar2, win95pts
+
+        return {
+            "hailfinder": hailfinder,
+            "hepar2": hepar2,
+            "win95pts": win95pts,
+        }[name]()
+
+    return make
+
+
 BUILTIN_NETWORKS: Dict[str, Callable[[], DiscreteBN]] = {
     "sprinkler": sprinkler,
     "cancer": cancer,
@@ -273,6 +286,11 @@ BUILTIN_NETWORKS: Dict[str, Callable[[], DiscreteBN]] = {
     # canonical mid-size structures, seeded CPTs (see midsize.py)
     "insurance": _midsize("insurance"),
     "alarm": _midsize("alarm"),
+    # large discrete regime, seeded CPTs (see large_discrete.py for
+    # per-network structure provenance)
+    "hailfinder": _large("hailfinder"),
+    "hepar2": _large("hepar2"),
+    "win95pts": _large("win95pts"),
 }
 
 

@@ -84,28 +84,132 @@ def _markov_blanket(bn: DiscreteBN, node: str) -> set:
     return mb
 
 
+def graph_analytics(bn: DiscreteBN, max_bc_sources: int = 200) -> Dict:
+    """Moralized-graph analytics for target selection.
+
+    The reference selects PAC-diverse targets via Markov blankets,
+    articulation points, betweenness centrality, and eccentricity on the
+    moralized graph (``II_query_generation/bnlearn.py:423-576``). Here
+    the same statistics come from networkx over the moralized undirected
+    graph (per connected component; betweenness source-sampled on large
+    nets to keep stage II O(k·m)).
+    """
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_nodes_from(bn.nodes)
+    for c in bn.nodes:
+        ps = bn.parents[c]
+        for p in ps:
+            g.add_edge(p, c)
+        for i in range(len(ps)):  # moralization: marry parents
+            for j in range(i + 1, len(ps)):
+                g.add_edge(ps[i], ps[j])
+    mb = {n: _markov_blanket(bn, n) for n in bn.nodes}
+    art: set = set()
+    bc: Dict[str, float] = {}
+    ecc: Dict[str, int] = {}
+    for comp in nx.connected_components(g):
+        sub = g.subgraph(comp)
+        art |= set(nx.articulation_points(sub))
+        k = min(max_bc_sources, sub.number_of_nodes())
+        if k < sub.number_of_nodes():
+            bc.update(nx.betweenness_centrality(sub, k=k, seed=0))
+        else:
+            bc.update(nx.betweenness_centrality(sub))
+        ecc.update(nx.eccentricity(sub))
+    return {
+        "moralized": g,
+        "mb": mb,
+        "articulation": art,
+        "betweenness": bc,
+        "eccentricity": ecc,
+    }
+
+
+def _jaccard_dist(a: set, b: set) -> float:
+    union = len(a | b)
+    return 1.0 - (len(a & b) / union) if union else 0.0
+
+
+def _pac_diverse(cands: List[str], ctx: Dict[str, set], k: int, rng,
+                 selected: List[str]) -> List[str]:
+    """Greedy diversity filter: accept a candidate when its min Jaccard
+    distance (over Markov-blanket contexts) to the already-selected set
+    beats the running mean — the reference's parameter-free PAC-style
+    rule (bnlearn.py:601-638); shortfall back-filled in order."""
+    out: List[str] = []
+    dists: List[float] = []
+    pool = [c for c in cands if c not in selected]
+    for cand in pool:
+        if len(out) >= k:
+            break
+        base = selected + out
+        if not base:
+            out.append(cand)
+            continue
+        dmin = min(_jaccard_dist(ctx[cand], ctx[s]) for s in base)
+        thr = (sum(dists) / len(dists)) if dists else 0.0
+        if dmin >= thr:
+            out.append(cand)
+            dists.append(dmin)
+    for cand in pool:
+        if len(out) >= k:
+            break
+        if cand not in out:
+            out.append(cand)
+    return out
+
+
 def select_targets(bn: DiscreteBN, n_targets: int, rng) -> List[str]:
-    """Diversity-aware target pick: rank by Markov-blanket size + depth
-    spread (the reference's PAC-diverse selection, bnlearn.py:601-760)."""
-    order = bn.topological_order()
-    depth = {n: 0 for n in order}
-    for n in order:
-        for p in bn.parents[n]:
-            depth[n] = max(depth[n], depth[p] + 1)
-    scored = sorted(
-        bn.nodes,
-        key=lambda n: (len(_markov_blanket(bn, n)), depth[n]),
-        reverse=True,
-    )
-    # mix: top-MB nodes + random spread
-    k = max(1, n_targets // 2)
-    picks = scored[:k]
-    rest = [n for n in bn.nodes if n not in picks]
-    if rest and n_targets - len(picks) > 0:
-        picks += list(
-            rng.choice(rest, size=min(len(rest), n_targets - len(picks)),
-                       replace=False)
-        )
+    """Category-budgeted PAC-diverse target selection.
+
+    Parity with the reference's allocation over graph-analytic candidate
+    categories (``bnlearn.py:601-760``): the budget splits across
+    hub (largest Markov blanket), articulation points (separators whose
+    removal disconnects the moralized graph), central (betweenness),
+    peripheral (eccentricity), and random-PAC pools; within each pool
+    picks are diversity-filtered by Jaccard distance of Markov blankets.
+    """
+    an = graph_analytics(bn)
+    mb = an["mb"]
+    shuffled = list(bn.nodes)
+    rng.shuffle(shuffled)
+    cats: Dict[str, List[str]] = {
+        "hub": sorted(bn.nodes, key=lambda n: len(mb[n]), reverse=True),
+        "articulation": sorted(
+            an["articulation"],
+            key=lambda n: an["betweenness"].get(n, 0.0),
+            reverse=True,
+        ),
+        "central": sorted(
+            bn.nodes, key=lambda n: an["betweenness"].get(n, 0.0),
+            reverse=True,
+        ),
+        "periphery": sorted(
+            bn.nodes, key=lambda n: an["eccentricity"].get(n, 0),
+            reverse=True,
+        ),
+        "random_pac": shuffled,
+    }
+    names = list(cats)
+    base, rem = divmod(n_targets, len(names))
+    budgets = {c: base for c in names}
+    for c in names[:rem]:
+        budgets[c] += 1
+    picks: List[str] = []
+    spill = 0
+    for c in names:
+        want = budgets[c] + spill
+        got = _pac_diverse(cats[c], mb, want, rng, picks)
+        picks += got
+        spill = want - len(got)
+    if len(picks) < n_targets:  # tiny nets: fill from anywhere
+        for n in cats["hub"]:
+            if len(picks) >= n_targets:
+                break
+            if n not in picks:
+                picks.append(n)
     return picks[:n_targets]
 
 

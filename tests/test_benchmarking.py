@@ -186,3 +186,36 @@ def test_vbn_tpu_backend_smoke(tmp_path):
     agg = json.load(open(os.path.join(bundle.dir("report"), "aggregate.json")))
     # learned CPTs + LW should be close to exact ground truth
     assert agg["sprinkler"]["vbn_ct_lw"]["kl"]["iqm"] < 0.05
+
+
+def test_target_selection_graph_analytics():
+    """Stage-II target selection uses moralized-graph analytics
+    (Markov blankets, articulation points, betweenness, eccentricity)
+    with category-budgeted PAC-diverse allocation (round-3 VERDICT
+    missing #5; reference anchor II_query_generation/bnlearn.py:423-760)."""
+    import numpy as np
+
+    from benchmarking.midsize import insurance
+    from benchmarking.query_gen import graph_analytics, select_targets
+
+    bn = insurance()
+    an = graph_analytics(bn)
+    assert set(an) >= {"mb", "articulation", "betweenness", "eccentricity"}
+    # moralization: Accident's parents are pairwise connected
+    g = an["moralized"]
+    assert g.has_edge("Antilock", "Mileage")  # married parents of Accident
+    # articulation points disconnect the moralized graph
+    import networkx as nx
+
+    for a in an["articulation"]:
+        h = g.copy()
+        h.remove_node(a)
+        assert not nx.is_connected(h)
+    picks = select_targets(bn, 10, np.random.default_rng(0))
+    assert len(picks) == 10 and len(set(picks)) == 10
+    # determinism at fixed seed
+    picks2 = select_targets(bn, 10, np.random.default_rng(0))
+    assert picks == picks2
+    # the hub (largest Markov blanket) is always represented
+    hub = max(bn.nodes, key=lambda n: len(an["mb"][n]))
+    assert hub in picks
