@@ -76,6 +76,7 @@ def join_results(
             qid = rec["query"]["query_id"]
             g = gt.get(qid)
             g_ok = g if g and g.get("ok") else {}
+            q = rec["query"]
             joined[qid] = {
                 "kind": rec.get("kind"),
                 "ok": bool(rec["result"].get("ok")),
@@ -86,9 +87,151 @@ def join_results(
                 "gt_probs": g_ok.get("probs"),
                 "gt_mean": g_ok.get("mean"),
                 "gt_std": g_ok.get("std"),
+                # query metadata for the per-method deep-dives
+                "target": q.get("target") or q.get("node"),
+                "evidence_mode": q.get("evidence_mode"),
+                "task": q.get("task"),
+                "n_evidence": len(q.get("evidence") or {}),
             }
         out[model] = joined
     return out
+
+
+# ---------------------------------------------------------------------------
+# Ground-truth recompute (GTComputer parity) and deep-dive pages
+# ---------------------------------------------------------------------------
+
+def recompute_ground_truth(
+    bundle: BenchmarkBundle, problem: str, atol: float = 1e-6
+) -> Dict:
+    """Independently recompute a problem's exact ground truth at report
+    time and diff it against the stored artifact.
+
+    Parity with the reference reporter's ``GTComputer``
+    (``/root/reference/benchmarking/scripts/05_report_results.py:165-286``):
+    the persisted network + stored query list are re-run through the same
+    exact engines (VE for discrete, closed-form for gaussian/clg), so a
+    stale or corrupted ``ground_truth.jsonl`` (e.g. after a seed change
+    regenerated the networks) is caught instead of silently skewing every
+    accuracy row. Returns ``{checked, missing, mismatched, max_abs_drift,
+    ok}``.
+    """
+    from .clg_bn import CLGaussianBN, clg_ground_truth
+    from .gaussian_bn import GaussianBN, gaussian_ground_truth
+    from .pipeline import _load_network
+    from .query_gen import InferenceQuery, compute_ground_truth
+
+    bn = _load_network(bundle, problem)
+    qpath = os.path.join(
+        bundle.dir("queries", problem), "inference_queries.jsonl"
+    )
+    gt_path = os.path.join(
+        bundle.dir("ground_truth", problem), "ground_truth.jsonl"
+    )
+    if not (os.path.exists(qpath) and os.path.exists(gt_path)):
+        return {"ok": False, "reason": "missing query/gt artifacts"}
+    queries = [InferenceQuery.from_dict(d) for d in read_jsonl(qpath)]
+    stored = {r["query_id"]: r for r in read_jsonl(gt_path)}
+    if isinstance(bn, CLGaussianBN):
+        fresh = clg_ground_truth(bn, queries)
+    elif isinstance(bn, GaussianBN):
+        fresh = gaussian_ground_truth(bn, queries)
+    else:
+        fresh = compute_ground_truth(bn, queries)
+    checked = missing = mismatched = 0
+    max_drift = 0.0
+    for rec in fresh:
+        qid = rec["query_id"]
+        old = stored.get(qid)
+        if old is None:
+            missing += 1
+            continue
+        if bool(rec.get("ok")) != bool(old.get("ok")):
+            mismatched += 1
+            continue
+        if not rec.get("ok"):
+            continue
+        checked += 1
+        if rec.get("probs") is not None and old.get("probs") is not None:
+            a = np.asarray(rec["probs"], np.float64)
+            b = np.asarray(old["probs"], np.float64)
+            drift = (
+                float(np.max(np.abs(a - b))) if a.shape == b.shape else 1.0
+            )
+        elif rec.get("mean") is not None and old.get("mean") is not None:
+            drift = max(
+                abs(float(rec["mean"]) - float(old["mean"])),
+                abs(float(rec.get("std", 0.0)) - float(old.get("std", 0.0))),
+            )
+        else:
+            drift = 0.0
+        max_drift = max(max_drift, drift)
+        if drift > atol:
+            mismatched += 1
+    return {
+        "ok": mismatched == 0 and missing == 0,
+        "checked": checked,
+        "missing": missing,
+        "mismatched": mismatched,
+        "max_abs_drift": max_drift,
+    }
+
+
+def _percentiles(vals: List[float]) -> str:
+    if not vals:
+        return "—"
+    v = np.asarray(vals, np.float64)
+    p50, p90, p99 = np.percentile(v, [50, 90, 99])
+    return f"p50 {p50:.3f} / p90 {p90:.3f} / p99 {p99:.3f}"
+
+
+def render_model_page(problem: str, model: str, joined_m: Dict) -> str:
+    """Per-method deep-dive page: accuracy broken down by evidence mode
+    and task, worst queries by KL, timing percentiles (parity with the
+    reference's per-method report pages, 05_report_results.py:668-937)."""
+    groups = defaultdict(list)
+    per_query = []
+    timings = []
+    n_ok = 0
+    for qid, r in sorted(joined_m.items()):
+        if r["ok"]:
+            n_ok += 1
+            if r.get("timing_ms") is not None:
+                timings.append(r["timing_ms"])
+        vals = _row_metrics(r) if r["ok"] else None
+        if vals is None:
+            continue
+        groups[(r.get("evidence_mode") or "—", r.get("task") or "—")].append(
+            vals["kl"]
+        )
+        per_query.append((vals["kl"], qid, r))
+    lines = [
+        f"# {problem} · {model}",
+        "",
+        f"queries: {len(joined_m)}  ·  ok: {n_ok}  ·  "
+        f"timing ms: {_percentiles(timings)}",
+        "",
+        "## KL by evidence mode × task",
+        "",
+        "| evidence_mode | task | n | KL (iqm±iqrstd) | KL (median) |",
+        "|---|---|---|---|---|",
+    ]
+    for (mode, task), kls in sorted(groups.items()):
+        s = robust_summary(kls)
+        lines.append(
+            f"| {mode} | {task} | {s['n']} | {_fmt(s)} | {s['median']:.4f} |"
+        )
+    per_query.sort(reverse=True, key=lambda t: t[0])
+    lines += ["", "## Worst queries by KL", "",
+              "| query | target | mode | task | #evidence | KL |",
+              "|---|---|---|---|---|---|"]
+    for kl, qid, r in per_query[:10]:
+        lines.append(
+            f"| {qid} | {r.get('target')} | {r.get('evidence_mode')} "
+            f"| {r.get('task')} | {r.get('n_evidence')} | {kl:.5f} |"
+        )
+    lines.append("")
+    return "\n".join(lines)
 
 
 def compute_metrics(joined: Dict[str, Dict[str, Dict]]) -> Dict[str, Dict]:
@@ -192,11 +335,25 @@ def render_report(bundle: BenchmarkBundle) -> str:
     os.makedirs(single_dir, exist_ok=True)
     problems = bundle.problems()
     all_tables = {}
+    gt_checks: Dict[str, Dict] = {}
     for problem in problems:
         table = aggregate_problem(bundle, problem)
         all_tables[problem] = table
+        try:
+            gt_checks[problem] = recompute_ground_truth(bundle, problem)
+        except Exception as exc:  # recompute is a validator, never fatal
+            gt_checks[problem] = {"ok": False, "reason": str(exc)}
+        gc = gt_checks[problem]
+        gt_line = (
+            f"Ground-truth recompute: OK ({gc.get('checked', 0)} checked, "
+            f"max drift {gc.get('max_abs_drift', 0.0):.2e})"
+            if gc.get("ok")
+            else f"Ground-truth recompute: MISMATCH {gc}"
+        )
         lines = [
             f"# {problem}",
+            "",
+            gt_line,
             "",
             "| model | success | KL (iqm±iqrstd) | JS | WS | KL (common) | time ms (median) |",
             "|---|---|---|---|---|---|---|",
@@ -213,6 +370,16 @@ def render_report(bundle: BenchmarkBundle) -> str:
             os.path.join(single_dir, f"{problem}.md"), "w", encoding="utf-8"
         ) as f:
             f.write("\n".join(lines) + "\n")
+        # per-method deep-dive pages
+        joined = join_results(bundle, problem)
+        for model, joined_m in joined.items():
+            page = render_model_page(problem, model, joined_m)
+            with open(
+                os.path.join(single_dir, f"{problem}__{model}.md"),
+                "w",
+                encoding="utf-8",
+            ) as f:
+                f.write(page)
 
     # aggregate across problems per model
     agg: Dict[str, Dict[str, List[float]]] = defaultdict(
@@ -242,8 +409,30 @@ def render_report(bundle: BenchmarkBundle) -> str:
             f"| {model} | {np.mean(metrics['success']):.2%} "
             f"| {m('kl')} | {m('js')} | {m('ws')} |"
         )
+    # coverage matrix: model × problem success (parity with the
+    # reference's coverage tables, 05_report_results.py:668-937)
+    index += ["", "## Coverage (success rate per model × problem)", ""]
+    models = sorted(agg)
+    index.append("| model | " + " | ".join(problems) + " |")
+    index.append("|---|" + "---|" * len(problems))
+    for model in models:
+        cells = []
+        for p in problems:
+            row = all_tables[p].get(model)
+            cells.append(f"{row['success_rate']:.0%}" if row else "—")
+        index.append(f"| {model} | " + " | ".join(cells) + " |")
+    gt_bad = {p: c for p, c in gt_checks.items() if not c.get("ok")}
     index.append("")
-    index.append("Per-problem detail: see `single/<problem>.md`.")
+    index.append(
+        "Ground-truth recompute: all problems verified."
+        if not gt_bad
+        else f"Ground-truth recompute MISMATCHES: {sorted(gt_bad)}"
+    )
+    index.append("")
+    index.append(
+        "Per-problem detail: `single/<problem>.md`; per-method deep-dives: "
+        "`single/<problem>__<model>.md`."
+    )
     plot_path = render_plots(bundle)
     if plot_path:
         index.append(f"\n![metrics vs size](metrics_vs_size.png)")
