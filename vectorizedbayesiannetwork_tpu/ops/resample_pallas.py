@@ -246,6 +246,53 @@ def _build_block(cw, vw, dd: int):
     return jnp.concatenate(parts, axis=0)
 
 
+def _prebuild_kernel(c_ref, v_ref, out_ref, *, dd: int, g: int):
+    """Build ``g`` windows' hierarchical blocks in one instance."""
+    for j in range(g):
+        out_ref[0, j] = _build_block(c_ref[0, j], v_ref[0, j], dd)
+
+
+def _prebuild_blocks(cum_w, val_w, dd: int, interpret: bool):
+    """One-pass window-layout build: each window's hierarchical block is
+    constructed ONCE (vs twice per pair when built in-register per tile —
+    with T == W every window serves ~2 tiles) and streamed back for the
+    merge kernel to consume directly. The round-2 XLA-side prep died on
+    small-tile transposes (15-20x over traffic SOL); this pass runs the
+    SAME in-register build the r3 kernel uses, just hoisted so the merge
+    kernel becomes pure rank search. Extra HBM traffic: one write + one
+    read of ~6 rows per 4-row window (~0.5 ms at 8x1M d=1), bought
+    against ~half the merge kernel's in-register gather budget.
+    """
+    b, kw = cum_w.shape[:2]
+    rows = _HDR + 8 * (dd // 2)
+    g = 8
+    while kw % g:
+        g //= 2
+    return pl.pallas_call(
+        functools.partial(_prebuild_kernel, dd=dd, g=g),
+        grid=(b, kw // g),
+        in_specs=[
+            pl.BlockSpec((1, g, 4, _LB), lambda bb, kk: (bb, kk, 0, 0)),
+            pl.BlockSpec(
+                (1, g, dd, 4, _LB), lambda bb, kk: (bb, kk, 0, 0, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, g, rows, _LB), lambda bb, kk: (bb, kk, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, kw, rows, _LB), jnp.float32),
+        interpret=interpret,
+    )(cum_w, val_w)
+
+
+def _prebuild_enabled() -> bool:
+    """Default ON (VBN_SRG_PREBUILD=0 reverts to per-tile in-register
+    builds for A/B measurement)."""
+    import os
+
+    return os.environ.get("VBN_SRG_PREBUILD", "1") == "1"
+
+
 def _value_pair(blk0, blk1, fidx):
     """Feature ``fidx``'s transposed value pair, [8, 128]: column c holds
     entries 8c..8c+7 of the pair (two features pack per 8-row block)."""
@@ -298,30 +345,54 @@ def _pair_pick(blk0, blk1, uqs, u_last, prev_last, acc, d):
     #    column 8t+s); zero-padded to a full vreg (Mosaic's dynamic_gather
     #    requires indices shaped like the source)
     nq = T // _LB
-    segs = []
-    for oq in range(nq):
-        uq = uqs[oq]  # [1, 128]
-        sc = jnp.sum(
-            (scl <= uq).astype(jnp.int32), axis=0, keepdims=True
-        )  # [1, 128] full supercolumns, in [0, 16]
-        in_range = sc < 2 * _SC
-        scc = jnp.minimum(sc, 2 * _SC - 1)
-        g1 = jnp.take_along_axis(
+    # STAGE-MAJOR evaluation: all quarters' supercolumn counts, then all
+    # their column probes, then entry probes, then value picks — the
+    # structural form of the round-3 "interleave quarters for ILP" idea.
+    # Measured NEUTRAL vs quarter-major on v5e (14.18 vs 14.12 ms at
+    # 8x1M d=1): Mosaic's scheduler already overlaps the independent
+    # probe chains. Kept because it states the independence explicitly
+    # and costs nothing.
+    scs = [
+        jnp.sum((scl <= uq).astype(jnp.int32), axis=0, keepdims=True)
+        for uq in uqs
+    ]  # [1, 128] full supercolumns each, in [0, 16]
+    sccs = [jnp.minimum(sc, 2 * _SC - 1) for sc in scs]
+    g1s = [
+        jnp.take_along_axis(
             clt,
             jnp.broadcast_to(scc, (8, _LB)),
             axis=1,
             mode="promise_in_bounds",
-        )  # [8, 128]: row s = column-last of column 8*scc + s
-        cc = jnp.sum((g1 <= uq).astype(jnp.int32), axis=0, keepdims=True)
-        # boundary supercolumn is not full => cc <= 7 when in_range
-        col = jnp.minimum(scc * 8 + cc, _LB - 1)
-        g2 = jnp.take_along_axis(
+        )
+        for scc in sccs
+    ]  # row s = column-last of column 8*scc + s
+    ccs = [
+        jnp.sum((g1 <= uq).astype(jnp.int32), axis=0, keepdims=True)
+        for g1, uq in zip(g1s, uqs)
+    ]  # boundary supercolumn is not full => cc <= 7 when in range
+    cols = [
+        jnp.minimum(scc * 8 + cc, _LB - 1)
+        for scc, cc in zip(sccs, ccs)
+    ]
+    g2s = [
+        jnp.take_along_axis(
             colt,
             jnp.broadcast_to(col, (8, _LB)),
             axis=1,
             mode="promise_in_bounds",
-        )  # [8, 128]: row s = pair entry 8*col + s
-        f = jnp.sum((g2 <= uq).astype(jnp.int32), axis=0, keepdims=True)
+        )
+        for col in cols
+    ]  # row s = pair entry 8*col + s
+    fs = [
+        jnp.sum((g2 <= uq).astype(jnp.int32), axis=0, keepdims=True)
+        for g2, uq in zip(g2s, uqs)
+    ]
+    vpairs = [_value_pair(blk0, blk1, fidx) for fidx in range(d)]
+    segs = []
+    for oq in range(nq):
+        uq = uqs[oq]
+        sc, cc, f = scs[oq], ccs[oq], fs[oq]
+        in_range = sc < 2 * _SC
         rank = jnp.where(in_range, sc * 64 + cc * 8 + f, 2 * W)
         # found <=> ancestor in this pair: not before it (rows resolved
         # by an earlier pair fail prev_last <= u strictly) and not beyond.
@@ -332,7 +403,7 @@ def _pair_pick(blk0, blk1, uqs, u_last, prev_last, acc, d):
         rows_q = [
             _sublane_pick(
                 jnp.take_along_axis(
-                    _value_pair(blk0, blk1, fidx),
+                    vpairs[fidx],
                     jnp.broadcast_to(ca, (8, _LB)),
                     axis=1,
                     mode="promise_in_bounds",
@@ -364,22 +435,30 @@ def _pair_pick(blk0, blk1, uqs, u_last, prev_last, acc, d):
 def _srg_kernel(
     u0_ref,  # SMEM [B, 1] f32 (scalar prefetch)
     p_ref,  # SMEM [B, K] int32 window pointers (scalar prefetch)
-    *args,  # 4r pipelined raw-window refs (cum [1,1,4,128] + values
-    #         [1,1,dd,4,128] per window of each pair), then the HBM raw
-    #         arrays (overflow walk), the [1, 1, r*rows_out, 128] output
-    #         block, VMEM overflow scratch x4, DMA semaphores (4,)
+    *args,  # per tile: 2 prebuilt-block refs ([1,1,rows,128]) in prebuilt
+    #         mode, else 4 raw-window refs (cum [1,1,4,128] + values
+    #         [1,1,dd,4,128] per window); then the HBM arrays (overflow
+    #         walk), the [1, 1, r*rows_out, 128] output block, VMEM
+    #         overflow scratch, DMA semaphores
     s: int,
     d: int,
     dd: int,
     r: int,
     k_last: int,
+    prebuilt: bool,
 ):
     """r output tiles per program instance (VBN_SRG_TPI; measured neutral
     at 8x1M — the rank search, not grid overhead, bounds the kernel)."""
-    blks = args[: 4 * r]
-    cum_raw, val_raw = args[4 * r], args[4 * r + 1]
-    out_ref = args[4 * r + 2]
-    cs0, vs0, cs1, vs1, sems = args[4 * r + 3 : 4 * r + 8]
+    npp = 2 if prebuilt else 4
+    blks = args[: npp * r]
+    if prebuilt:
+        hbm = (args[npp * r],)
+        out_ref = args[npp * r + 1]
+        scratch = args[npp * r + 2 : npp * r + 5]
+    else:
+        hbm = (args[npp * r], args[npp * r + 1])
+        out_ref = args[npp * r + 2]
+        scratch = args[npp * r + 3 : npp * r + 8]
     b = pl.program_id(0)
     kk = pl.program_id(1)
     rows_out = out_ref.shape[2] // r
@@ -405,27 +484,35 @@ def _srg_kernel(
         uqs = [u[:, oq * _LB : (oq + 1) * _LB] for oq in range(T // _LB)]
         _resolve_tile(
             b, p_ref[b, k], uqs, u_last,
-            blks[4 * j], blks[4 * j + 1], blks[4 * j + 2], blks[4 * j + 3],
-            cum_raw, val_raw, out_ref, cs0, vs0, cs1, vs1, sems, d, dd,
+            blks[npp * j : npp * (j + 1)],
+            hbm, out_ref, scratch, d, dd,
             row0=j * rows_out, rows_out=rows_out, k_last=k_last,
+            prebuilt=prebuilt,
         )
 
 
 def _spg_kernel(
     p_ref,  # SMEM [B, K] int32 window pointers (scalar prefetch)
-    *args,  # positions block [1, r, nq, 128], then 4r pipelined raw
-    #         window refs, HBM raw arrays, output, scratch x4,
-    #         semaphores — see _srg_kernel
+    *args,  # positions block [1, r, nq, 128], then the pipelined window
+    #         refs, HBM arrays, output, scratch, semaphores — see
+    #         _srg_kernel
     d: int,
     dd: int,
     r: int,
     k_last: int,
+    prebuilt: bool,
 ):
     pos_ref = args[0]
-    blks = args[1 : 1 + 4 * r]
-    cum_raw, val_raw = args[1 + 4 * r], args[2 + 4 * r]
-    out_ref = args[3 + 4 * r]
-    cs0, vs0, cs1, vs1, sems = args[4 + 4 * r : 9 + 4 * r]
+    npp = 2 if prebuilt else 4
+    blks = args[1 : 1 + npp * r]
+    if prebuilt:
+        hbm = (args[1 + npp * r],)
+        out_ref = args[2 + npp * r]
+        scratch = args[3 + npp * r : 6 + npp * r]
+    else:
+        hbm = (args[1 + npp * r], args[2 + npp * r])
+        out_ref = args[3 + npp * r]
+        scratch = args[4 + npp * r : 9 + npp * r]
     b = pl.program_id(0)
     kk = pl.program_id(1)
     rows_out = out_ref.shape[2] // r
@@ -436,34 +523,46 @@ def _spg_kernel(
         u_last = jnp.max(pos)  # positions are globally sorted
         _resolve_tile(
             b, p_ref[b, k], uqs, u_last,
-            blks[4 * j], blks[4 * j + 1], blks[4 * j + 2], blks[4 * j + 3],
-            cum_raw, val_raw, out_ref, cs0, vs0, cs1, vs1, sems, d, dd,
+            blks[npp * j : npp * (j + 1)],
+            hbm, out_ref, scratch, d, dd,
             row0=j * rows_out, rows_out=rows_out, k_last=k_last,
+            prebuilt=prebuilt,
         )
 
 
 def _resolve_tile(
-    b, start, uqs, u_last, c0_ref, v0_ref, c1_ref, v1_ref,
-    cum_raw, val_raw, out_ref, cs0, vs0, cs1, vs1, sems, d, dd,
-    row0: int, rows_out: int, k_last: int,
+    b, start, uqs, u_last, blk_refs, hbm, out_ref, scratch, d, dd,
+    row0: int, rows_out: int, k_last: int, prebuilt: bool,
 ):
     """Shared tile body: prefetched pair + overflow window walk.
 
-    The pipelined refs deliver RAW windows (cum [4,128] + values
-    [dd,4,128]); the hierarchical layout is built in-register
-    (``_build_block``) — replacing the XLA-side ``_prep_blocks`` pass,
-    which dominated the kernel's round-2 cost (BENCH_NOTES round-3
-    decomposition). The common case (the prefetched pair covers the
-    tile) writes the output directly; the walk lives behind ``pl.when``
-    with the output block as its accumulator, so tiles that never
-    overflow don't pay the loop-carried dataflow. ``row0``/``rows_out``
-    select this tile's row band of the output block. Walk pointers clamp
-    to ``k_last`` (== K-2): the final real pair holds cum == 1.0, so it
-    covers every remaining position and the loop terminates in range;
-    re-scanned windows are excluded by the ``prev_last`` ordering guard.
+    In PREBUILT mode (default) the pipelined refs deliver ready
+    hierarchical blocks from the one-pass ``_prebuild_blocks`` kernel —
+    the merge kernel is pure rank search. Otherwise refs deliver RAW
+    windows (cum [4,128] + values [dd,4,128]) and the layout is built
+    in-register per tile (``_build_block``, the round-3 form — kept
+    behind VBN_SRG_PREBUILD=0 for A/B). The common case (the prefetched
+    pair covers the tile) writes the output directly; the walk lives
+    behind ``pl.when`` with the output block as its accumulator, so
+    tiles that never overflow don't pay the loop-carried dataflow.
+    ``row0``/``rows_out`` select this tile's row band of the output
+    block. Walk pointers clamp to ``k_last`` (== K-2): the final real
+    pair holds cum == 1.0, so it covers every remaining position and the
+    loop terminates in range; re-scanned windows are excluded by the
+    ``prev_last`` ordering guard.
     """
-    blk0 = _build_block(c0_ref[0, 0], v0_ref[0, 0], dd)
-    blk1 = _build_block(c1_ref[0, 0], v1_ref[0, 0], dd)
+    if prebuilt:
+        b0_ref, b1_ref = blk_refs
+        blk0 = b0_ref[0, 0]
+        blk1 = b1_ref[0, 0]
+        (blk_raw,) = hbm
+        bs0, bs1, sems = scratch
+    else:
+        c0_ref, v0_ref, c1_ref, v1_ref = blk_refs
+        blk0 = _build_block(c0_ref[0, 0], v0_ref[0, 0], dd)
+        blk1 = _build_block(c1_ref[0, 0], v1_ref[0, 0], dd)
+        cum_raw, val_raw = hbm
+        cs0, vs0, cs1, vs1, sems = scratch
     row1 = row0 + rows_out
     acc0 = jnp.zeros((rows_out, _LB), jnp.float32)
     acc1, covered0, pair_max0 = _pair_pick(
@@ -476,24 +575,41 @@ def _resolve_tile(
         def overflow(carry):
             step, prev_last, _cov = carry
             widx = jnp.minimum(step, k_last)
-            copies = [
-                pltpu.make_async_copy(cum_raw.at[b, widx], cs0, sems.at[0]),
-                pltpu.make_async_copy(
-                    cum_raw.at[b, widx + 1], cs1, sems.at[1]
-                ),
-                pltpu.make_async_copy(val_raw.at[b, widx], vs0, sems.at[2]),
-                pltpu.make_async_copy(
-                    val_raw.at[b, widx + 1], vs1, sems.at[3]
-                ),
-            ]
+            if prebuilt:
+                copies = [
+                    pltpu.make_async_copy(
+                        blk_raw.at[b, widx], bs0, sems.at[0]
+                    ),
+                    pltpu.make_async_copy(
+                        blk_raw.at[b, widx + 1], bs1, sems.at[1]
+                    ),
+                ]
+            else:
+                copies = [
+                    pltpu.make_async_copy(
+                        cum_raw.at[b, widx], cs0, sems.at[0]
+                    ),
+                    pltpu.make_async_copy(
+                        cum_raw.at[b, widx + 1], cs1, sems.at[1]
+                    ),
+                    pltpu.make_async_copy(
+                        val_raw.at[b, widx], vs0, sems.at[2]
+                    ),
+                    pltpu.make_async_copy(
+                        val_raw.at[b, widx + 1], vs1, sems.at[3]
+                    ),
+                ]
             for c in copies:
                 c.start()
             for c in copies:
                 c.wait()
+            if prebuilt:
+                w0, w1 = bs0[:], bs1[:]
+            else:
+                w0 = _build_block(cs0[:], vs0[:], dd)
+                w1 = _build_block(cs1[:], vs1[:], dd)
             acc, covered, pair_max = _pair_pick(
-                _build_block(cs0[:], vs0[:], dd),
-                _build_block(cs1[:], vs1[:], dd),
-                uqs, u_last, prev_last,
+                w0, w1, uqs, u_last, prev_last,
                 out_ref[0, 0, row0:row1], d,
             )
             out_ref[0, 0, row0:row1] = acc
@@ -589,45 +705,82 @@ def systematic_resample_gather(
     nq = T // _LB
     rows_out = -(-(nq * d) // 8) * 8
     r = _tiles_per_instance(k_tiles)
+    prebuilt = _prebuild_enabled()
     in_specs = []
     operands = []
-    for j in range(r):
-        in_specs.append(
-            pl.BlockSpec(
-                (1, 1, 4, _LB),
-                lambda bb, kk, u0r, pr, _j=j: (
-                    bb, pr[bb, kk * r + _j], 0, 0,
-                ),
+    if prebuilt:
+        blk_w = _prebuild_blocks(cum_w, val_w, dd, interpret)
+        rows_blk = blk_w.shape[2]
+        for j in range(r):
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, rows_blk, _LB),
+                    lambda bb, kk, u0r, pr, _j=j: (
+                        bb, pr[bb, kk * r + _j], 0, 0,
+                    ),
+                )
             )
-        )
-        in_specs.append(
-            pl.BlockSpec(
-                (1, 1, dd, 4, _LB),
-                lambda bb, kk, u0r, pr, _j=j: (
-                    bb, pr[bb, kk * r + _j], 0, 0, 0,
-                ),
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, rows_blk, _LB),
+                    lambda bb, kk, u0r, pr, _j=j: (
+                        bb, pr[bb, kk * r + _j] + 1, 0, 0,
+                    ),
+                )
             )
-        )
-        in_specs.append(
-            pl.BlockSpec(
-                (1, 1, 4, _LB),
-                lambda bb, kk, u0r, pr, _j=j: (
-                    bb, pr[bb, kk * r + _j] + 1, 0, 0,
-                ),
+            operands.extend([blk_w, blk_w])
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        operands.append(blk_w)
+        scratch_shapes = [
+            pltpu.VMEM((rows_blk, _LB), jnp.float32),
+            pltpu.VMEM((rows_blk, _LB), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        for j in range(r):
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, 4, _LB),
+                    lambda bb, kk, u0r, pr, _j=j: (
+                        bb, pr[bb, kk * r + _j], 0, 0,
+                    ),
+                )
             )
-        )
-        in_specs.append(
-            pl.BlockSpec(
-                (1, 1, dd, 4, _LB),
-                lambda bb, kk, u0r, pr, _j=j: (
-                    bb, pr[bb, kk * r + _j] + 1, 0, 0, 0,
-                ),
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, dd, 4, _LB),
+                    lambda bb, kk, u0r, pr, _j=j: (
+                        bb, pr[bb, kk * r + _j], 0, 0, 0,
+                    ),
+                )
             )
-        )
-        operands.extend([cum_w, val_w, cum_w, val_w])
-    in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
-    in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
-    operands.extend([cum_w, val_w])
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, 4, _LB),
+                    lambda bb, kk, u0r, pr, _j=j: (
+                        bb, pr[bb, kk * r + _j] + 1, 0, 0,
+                    ),
+                )
+            )
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, dd, 4, _LB),
+                    lambda bb, kk, u0r, pr, _j=j: (
+                        bb, pr[bb, kk * r + _j] + 1, 0, 0, 0,
+                    ),
+                )
+            )
+            operands.extend([cum_w, val_w, cum_w, val_w])
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        operands.extend([cum_w, val_w])
+        scratch_shapes = [
+            pltpu.VMEM((4, _LB), jnp.float32),
+            pltpu.VMEM((dd, 4, _LB), jnp.float32),
+            pltpu.VMEM((4, _LB), jnp.float32),
+            pltpu.VMEM((dd, 4, _LB), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, k_tiles // r),
@@ -636,17 +789,12 @@ def systematic_resample_gather(
             (1, 1, r * rows_out, _LB),
             lambda bb, kk, u0r, pr: (bb, kk, 0, 0),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((4, _LB), jnp.float32),
-            pltpu.VMEM((dd, 4, _LB), jnp.float32),
-            pltpu.VMEM((4, _LB), jnp.float32),
-            pltpu.VMEM((dd, 4, _LB), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     out = pl.pallas_call(
         functools.partial(
-            _srg_kernel, s=s, d=d, dd=dd, r=r, k_last=s // W - 2
+            _srg_kernel, s=s, d=d, dd=dd, r=r, k_last=s // W - 2,
+            prebuilt=prebuilt,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
@@ -684,46 +832,85 @@ def sorted_gather(
     nq = T // _LB
     rows_out = -(-(nq * d) // 8) * 8
     r = _tiles_per_instance(k_tiles)
+    prebuilt = _prebuild_enabled()
     pos_blocks = pos.reshape(b, k_tiles, nq, _LB)
     in_specs = [
         pl.BlockSpec((1, r, nq, _LB), lambda bb, kk, pr: (bb, kk, 0, 0)),
     ]
     operands = [pos_blocks]
-    for j in range(r):
-        in_specs.append(
-            pl.BlockSpec(
-                (1, 1, 4, _LB),
-                lambda bb, kk, pr, _j=j: (bb, pr[bb, kk * r + _j], 0, 0),
+    if prebuilt:
+        blk_w = _prebuild_blocks(cum_w, val_w, dd, interpret)
+        rows_blk = blk_w.shape[2]
+        for j in range(r):
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, rows_blk, _LB),
+                    lambda bb, kk, pr, _j=j: (
+                        bb, pr[bb, kk * r + _j], 0, 0,
+                    ),
+                )
             )
-        )
-        in_specs.append(
-            pl.BlockSpec(
-                (1, 1, dd, 4, _LB),
-                lambda bb, kk, pr, _j=j: (
-                    bb, pr[bb, kk * r + _j], 0, 0, 0,
-                ),
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, rows_blk, _LB),
+                    lambda bb, kk, pr, _j=j: (
+                        bb, pr[bb, kk * r + _j] + 1, 0, 0,
+                    ),
+                )
             )
-        )
-        in_specs.append(
-            pl.BlockSpec(
-                (1, 1, 4, _LB),
-                lambda bb, kk, pr, _j=j: (
-                    bb, pr[bb, kk * r + _j] + 1, 0, 0,
-                ),
+            operands.extend([blk_w, blk_w])
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        operands.append(blk_w)
+        scratch_shapes = [
+            pltpu.VMEM((rows_blk, _LB), jnp.float32),
+            pltpu.VMEM((rows_blk, _LB), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        for j in range(r):
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, 4, _LB),
+                    lambda bb, kk, pr, _j=j: (
+                        bb, pr[bb, kk * r + _j], 0, 0,
+                    ),
+                )
             )
-        )
-        in_specs.append(
-            pl.BlockSpec(
-                (1, 1, dd, 4, _LB),
-                lambda bb, kk, pr, _j=j: (
-                    bb, pr[bb, kk * r + _j] + 1, 0, 0, 0,
-                ),
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, dd, 4, _LB),
+                    lambda bb, kk, pr, _j=j: (
+                        bb, pr[bb, kk * r + _j], 0, 0, 0,
+                    ),
+                )
             )
-        )
-        operands.extend([cum_w, val_w, cum_w, val_w])
-    in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
-    in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
-    operands.extend([cum_w, val_w])
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, 4, _LB),
+                    lambda bb, kk, pr, _j=j: (
+                        bb, pr[bb, kk * r + _j] + 1, 0, 0,
+                    ),
+                )
+            )
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, dd, 4, _LB),
+                    lambda bb, kk, pr, _j=j: (
+                        bb, pr[bb, kk * r + _j] + 1, 0, 0, 0,
+                    ),
+                )
+            )
+            operands.extend([cum_w, val_w, cum_w, val_w])
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        operands.extend([cum_w, val_w])
+        scratch_shapes = [
+            pltpu.VMEM((4, _LB), jnp.float32),
+            pltpu.VMEM((dd, 4, _LB), jnp.float32),
+            pltpu.VMEM((4, _LB), jnp.float32),
+            pltpu.VMEM((dd, 4, _LB), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, k_tiles // r),
@@ -731,17 +918,12 @@ def sorted_gather(
         out_specs=pl.BlockSpec(
             (1, 1, r * rows_out, _LB), lambda bb, kk, pr: (bb, kk, 0, 0)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((4, _LB), jnp.float32),
-            pltpu.VMEM((dd, 4, _LB), jnp.float32),
-            pltpu.VMEM((4, _LB), jnp.float32),
-            pltpu.VMEM((dd, 4, _LB), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     out = pl.pallas_call(
         functools.partial(
-            _spg_kernel, d=d, dd=dd, r=r, k_last=s_in // W - 2
+            _spg_kernel, d=d, dd=dd, r=r, k_last=s_in // W - 2,
+            prebuilt=prebuilt,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
