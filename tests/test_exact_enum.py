@@ -135,12 +135,27 @@ def test_enum_matches_bruteforce(vbn):
 
 
 def test_enum_refuses_oversized_or_continuous(vbn):
-    # Oversized joint support: the fused dispatch delegates to the LW
-    # fallback's mask-dynamic program (NOT the per-skeleton None path,
-    # which compiled per query skeleton — 2-5 s/query on alarm-class
-    # nets) and flags the fallback.
+    # Oversized joint support: the fused dispatch now drops to the
+    # compiled JUNCTION TREE (still exact, no fallback flag) — round-3
+    # VERDICT next #4.
     vbn.set_inference_method(
         "categorical_exact", max_states=4, n_samples=512
+    )
+    out = vbn.infer_posterior_pmf(
+        [{"target": "d", "evidence": {"a": [[0.0]]}}], n_classes=4
+    )
+    assert out is not None
+    pmf, spans = out
+    assert pmf.shape == (1, 4) and np.all(pmf >= 0)
+    assert not vbn._inference._last_fallback  # jtree served it exactly
+
+    # With the clique budget ALSO exhausted, the dispatch delegates to
+    # the LW fallback's mask-dynamic program (NOT the per-skeleton None
+    # path, which compiled per query skeleton — 2-5 s/query on
+    # alarm-class nets) and flags the fallback.
+    vbn.set_inference_method(
+        "categorical_exact", max_states=4, max_clique_states=2,
+        n_samples=512,
     )
     out = vbn.infer_posterior_pmf(
         [{"target": "d", "evidence": {"a": [[0.0]]}}], n_classes=4
