@@ -31,6 +31,7 @@ Provenance of the STRUCTURES (stated per-network, be precise when citing):
 
 from __future__ import annotations
 
+import zlib
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -224,7 +225,10 @@ def _build(name: str, spec: Dict[str, Tuple[int, List[str]]],
         bn.states[node] = [f"s{i}" for i in range(k)]
         bn.parents[node] = list(parents)
     for node, (k, parents) in spec.items():
-        rng = np.random.default_rng(abs(hash((name, node, seed))) % (2**32))
+        # stable seed: str hash is PYTHONHASHSEED-randomized per process
+        rng = np.random.default_rng(
+            zlib.crc32(f"{name}/{node}/{seed}".encode()) % (2**32)
+        )
         rows = int(np.prod([spec[p][0] for p in parents])) if parents else 1
         table = rng.dirichlet(np.full(k, 0.6), size=rows).astype(np.float64)
         shape = tuple(spec[p][0] for p in parents) + (k,)

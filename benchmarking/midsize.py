@@ -108,8 +108,13 @@ def _build(name: str, spec: dict, seed: int) -> DiscreteBN:
         bn.states[node] = [f"s{i}" for i in range(k)]
         bn.parents[node] = list(parents)
     for node, (k, parents) in spec.items():
+        # zlib.crc32: Python's str hash is randomized per process
+        # (PYTHONHASHSEED), which would silently re-parameterize the
+        # "deterministic" fixtures on every run (round-4 review finding).
+        import zlib
+
         rng = np.random.default_rng(
-            abs(hash((name, node, seed))) % (2**32)
+            zlib.crc32(f"{name}/{node}/{seed}".encode()) % (2**32)
         )
         rows = int(np.prod([spec[p][0] for p in parents])) if parents else 1
         table = rng.dirichlet(np.full(k, 0.6), size=rows).astype(np.float64)

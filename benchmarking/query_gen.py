@@ -132,7 +132,7 @@ def _jaccard_dist(a: set, b: set) -> float:
     return 1.0 - (len(a & b) / union) if union else 0.0
 
 
-def _pac_diverse(cands: List[str], ctx: Dict[str, set], k: int, rng,
+def _pac_diverse(cands: List[str], ctx: Dict[str, set], k: int,
                  selected: List[str]) -> List[str]:
     """Greedy diversity filter: accept a candidate when its min Jaccard
     distance (over Markov-blanket contexts) to the already-selected set
@@ -177,10 +177,11 @@ def select_targets(bn: DiscreteBN, n_targets: int, rng) -> List[str]:
     rng.shuffle(shuffled)
     cats: Dict[str, List[str]] = {
         "hub": sorted(bn.nodes, key=lambda n: len(mb[n]), reverse=True),
+        # (-betweenness, name): betweenness ties otherwise fall back to
+        # str-hash-randomized set iteration order (review finding)
         "articulation": sorted(
             an["articulation"],
-            key=lambda n: an["betweenness"].get(n, 0.0),
-            reverse=True,
+            key=lambda n: (-an["betweenness"].get(n, 0.0), n),
         ),
         "central": sorted(
             bn.nodes, key=lambda n: an["betweenness"].get(n, 0.0),
@@ -201,7 +202,7 @@ def select_targets(bn: DiscreteBN, n_targets: int, rng) -> List[str]:
     spill = 0
     for c in names:
         want = budgets[c] + spill
-        got = _pac_diverse(cats[c], mb, want, rng, picks)
+        got = _pac_diverse(cats[c], mb, want, picks)
         picks += got
         spill = want - len(got)
     if len(picks) < n_targets:  # tiny nets: fill from anywhere

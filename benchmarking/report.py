@@ -280,9 +280,10 @@ def compute_partitions(per_model: Dict[str, Dict]) -> Dict:
 
 
 def aggregate_problem(
-    bundle: BenchmarkBundle, problem: str
+    bundle: BenchmarkBundle, problem: str, joined: Optional[Dict] = None
 ) -> Dict[str, Dict]:
-    joined = join_results(bundle, problem)
+    if joined is None:
+        joined = join_results(bundle, problem)
     per_model = compute_metrics(joined)
     partitions = compute_partitions(per_model)
     common = partitions["common"]
@@ -337,7 +338,8 @@ def render_report(bundle: BenchmarkBundle) -> str:
     all_tables = {}
     gt_checks: Dict[str, Dict] = {}
     for problem in problems:
-        table = aggregate_problem(bundle, problem)
+        joined = join_results(bundle, problem)
+        table = aggregate_problem(bundle, problem, joined=joined)
         all_tables[problem] = table
         try:
             gt_checks[problem] = recompute_ground_truth(bundle, problem)
@@ -370,8 +372,7 @@ def render_report(bundle: BenchmarkBundle) -> str:
             os.path.join(single_dir, f"{problem}.md"), "w", encoding="utf-8"
         ) as f:
             f.write("\n".join(lines) + "\n")
-        # per-method deep-dive pages
-        joined = join_results(bundle, problem)
+        # per-method deep-dive pages (reuses the join above)
         for model, joined_m in joined.items():
             page = render_model_page(problem, model, joined_m)
             with open(

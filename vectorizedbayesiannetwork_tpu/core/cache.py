@@ -53,12 +53,21 @@ def enable_compilation_cache() -> Optional[str]:
     )
     try:
         os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
         # Cache every compile: the serving programs worth caching span
         # ~0.5 s (small sweeps) to minutes (fused trainers); entry sizes
-        # are small next to the compile times they save.
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        # are small next to the compile times they save. Thresholds are
+        # best-effort per jax version; the dir is set LAST so a partial
+        # failure can never leave the cache active while this function
+        # reports it disabled (round-4 review finding).
+        for flag, val in (
+            ("jax_persistent_cache_min_compile_time_secs", 0.0),
+            ("jax_persistent_cache_min_entry_size_bytes", -1),
+        ):
+            try:
+                jax.config.update(flag, val)
+            except Exception:
+                pass
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
     except Exception:
         return None
     return cache_dir

@@ -125,16 +125,34 @@ class DynamicMaskMethod(CompiledMethod):
         if not LikelihoodWeighting._fused_gate(vbn):
             return None
         s = int(kwargs.get("n_samples", self.n_samples))
+        pad_bucket = max(1, int(kwargs.get("pad_bucket", 1)))
         want = (f"{kind}_{src}",)
         pending = []
         for q in queries:
             plan, b = self._plan_and_batch(vbn, q)
             cpds = self._cpds(vbn, plan)
+            # Pad rows up to the serving bucket (or the next power of
+            # two) so every dispatch below that size reuses ONE compiled
+            # program per plan instead of one per distinct batch size
+            # (round-4 review finding: partial chunks retraced).
+            b_pad = max(
+                pad_bucket, 1 << max(0, (b - 1)).bit_length()
+            )
             fixed = pack_fixed_values(
                 q, plan, b, clamp_obs=self.pack_clamp_obs
             )
+            if b_pad != b:
+                fixed = np.concatenate(
+                    [
+                        fixed,
+                        np.zeros(
+                            (b_pad - b, fixed.shape[1]), fixed.dtype
+                        ),
+                    ],
+                    axis=0,
+                )
             raw = LikelihoodWeighting._fused_raw_fn(
-                plan, cpds, s, vbn, want, batch=b
+                plan, cpds, s, vbn, want, batch=b_pad
             )
             if raw is None:
                 return None
@@ -159,7 +177,7 @@ class DynamicMaskMethod(CompiledMethod):
         fetched = jax.device_get([red[0] for red, _, _ in pending])
         rows, spans, at = [], [], 0
         for sums, (_red, plan, b) in zip(fetched, pending):
-            sums = np.asarray(sums).astype(np.float64)
+            sums = np.asarray(sums).astype(np.float64)[:b]  # drop padding
             if kind == "pmf":
                 rows.append(sums[:, : int(n_classes)])
             else:
@@ -274,7 +292,8 @@ class DynamicMaskMethod(CompiledMethod):
         """
         if not self._dynamic_enabled(kwargs):
             return self._static_fused_reduce(
-                vbn, queries, "pmf", n_classes, kwargs
+                vbn, queries, "pmf", n_classes,
+                dict(kwargs, pad_bucket=pad_bucket),
             )
         k = int(n_classes)
         s = int(kwargs.get("n_samples", self.n_samples))
@@ -348,7 +367,8 @@ class DynamicMaskMethod(CompiledMethod):
         """
         if not self._dynamic_enabled(kwargs):
             return self._static_fused_reduce(
-                vbn, queries, "mom", None, kwargs
+                vbn, queries, "mom", None,
+                dict(kwargs, pad_bucket=pad_bucket),
             )
         s = int(kwargs.get("n_samples", self.n_samples))
         opts = self._dynamic_opts(kwargs)

@@ -52,16 +52,19 @@ class CategoricalExact(CompiledMethod):
         self._jtree_cache = {}
 
     def _jtree_for(self, vbn, plan, cpds):
-        """Host-built junction tree for this network, cached per plan."""
-        key = (plan, tuple(type(c).__name__ for c in cpds))
+        """Host-built junction tree for this network, cached per
+        (plan, node cardinalities) — cards in the key so a refit that
+        changes some node's class count cannot reuse a stale tree
+        (round-4 review finding: same structure + changed n_classes
+        would silently truncate the new classes' mass)."""
+        cards = _node_cards(plan, cpds)
+        if cards is None:
+            return None
+        key = (plan, cards)
         if key not in self._jtree_cache:
-            cards = _node_cards(plan, cpds)
-            tree = (
-                build_jtree(plan, cards, self.max_clique_states)
-                if cards is not None
-                else None
+            self._jtree_cache[key] = build_jtree(
+                plan, cards, self.max_clique_states
             )
-            self._jtree_cache[key] = tree
         return self._jtree_cache[key]
 
     def infer_posterior_pmf(

@@ -287,7 +287,10 @@ def _prebuild_blocks(cum_w, val_w, dd: int, interpret: bool):
 
 def _prebuild_enabled() -> bool:
     """Default ON (VBN_SRG_PREBUILD=0 reverts to per-tile in-register
-    builds for A/B measurement)."""
+    builds for A/B measurement). PROCESS-LEVEL knob: it is read at trace
+    time inside jitted entry points, so toggling it mid-process is
+    ignored once a shape has compiled — run each A/B arm in its own
+    process (as benchmarking scripts do)."""
     import os
 
     return os.environ.get("VBN_SRG_PREBUILD", "1") == "1"

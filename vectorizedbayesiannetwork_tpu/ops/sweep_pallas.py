@@ -728,7 +728,7 @@ def _shard_sweep(mesh, call_local, key, fixed, table, *, u_rows, s_loc,
     from ..parallel.mesh import DATA_AXIS, PARTICLE_AXIS
 
     npart = mesh.shape[PARTICLE_AXIS]
-    _, _, _, red_kind, _ = _parse_want(want)
+    want_logw, want_tgt, want_lpt, red_kind, _src = _parse_want(want)
 
     def local(key, fixed, table):
         di = jax.lax.axis_index(DATA_AXIS)
@@ -763,7 +763,6 @@ def _shard_sweep(mesh, call_local, key, fixed, table, *, u_rows, s_loc,
 
     stream_spec = P(DATA_AXIS, PARTICLE_AXIS)
     out_specs = {}
-    want_logw, want_tgt, want_lpt, red_kind, _src = _parse_want(want)
     if want_logw:
         out_specs["logw"] = stream_spec
     if want_tgt:
