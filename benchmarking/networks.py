@@ -346,6 +346,25 @@ def acquire_bif_dir(path: str = ".", **_kw) -> List[DiscreteBN]:
     return out
 
 
+@register_source("rds_dir")
+def acquire_rds_dir(path: str = ".", **_kw):
+    """Load all .rds bn.fit files from a local directory — the reference
+    suite's gaussian/clgaussian networks ship ONLY as R bn.fit RDS files
+    (``/root/reference/benchmarking/bnlearn_bnfit.py``); the pure-Python
+    reader (``rds.py``) ingests them with no R interop installed."""
+    from .rds import read_bnfit
+
+    out = []
+    for fname in sorted(os.listdir(path)):
+        if fname.endswith(".rds"):
+            out.append(
+                read_bnfit(
+                    os.path.join(path, fname), name=fname[: -len(".rds")]
+                )
+            )
+    return out
+
+
 def acquire(source: str, **kwargs) -> List[DiscreteBN]:
     if source not in DOWNLOADER_REGISTRY:
         raise ValueError(
