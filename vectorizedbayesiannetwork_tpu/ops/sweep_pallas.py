@@ -65,7 +65,11 @@ from jax.experimental.pallas import tpu as pltpu
 _LANE = 128
 _MAX_C = 32  # per-class static loop budget
 _MAX_ROWS_X_C = 2048  # select-chain ops per node budget
-_MAX_NODES = 64
+_MAX_NODES = 80  # covers the large bnlearn class (win95pts = 76 nodes:
+#                 measured 70 s compile, 5.1k q/s at B=256 x 1M, pmf
+#                 matching the exact jtree to MC error); the per-node
+#                 Python unroll's compile time is the binding constraint,
+#                 so link/munin-scale nets keep the XLA scan path
 
 
 def sweep_pallas_available() -> bool:
