@@ -132,6 +132,12 @@ def recompute_ground_truth(
         return {"ok": False, "reason": "missing query/gt artifacts"}
     queries = [InferenceQuery.from_dict(d) for d in read_jsonl(qpath)]
     stored = {r["query_id"]: r for r in read_jsonl(gt_path)}
+    if not stored:
+        # Timing-only bundle (ground_truth=False): nothing to verify —
+        # and re-attempting exact VE on a link/munin-scale net would
+        # grind through treewidth-exponential factor builds per query
+        # (round-4: report render hung on the 1041-node bundle here).
+        return {"ok": True, "checked": 0, "skipped": "timing-only bundle"}
     if isinstance(bn, CLGaussianBN):
         fresh = clg_ground_truth(bn, queries)
     elif isinstance(bn, GaussianBN):
