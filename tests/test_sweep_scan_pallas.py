@@ -1,0 +1,307 @@
+"""Scan-form mask-dynamic fused sweep (ops/sweep_scan_pallas.py).
+
+The kernel drives the topo sweep from metadata arrays (O(1) compile in
+node count) with runtime evidence/do masks. In interpret mode the tests
+inject an external uniform field; the contract is BIT-equality of draws
+with the unrolled fused kernel (same inverse-CDF walk, same uniforms)
+and with the independent numpy sweep, per heterogeneous query row.
+"""
+
+import networkx as nx
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from benchmarking.data_gen import generate_dataset
+from benchmarking.networks import asia, random_bn
+from test_sweep_pallas import _numpy_reference
+from vectorizedbayesiannetwork_tpu import VBN, defaults
+from vectorizedbayesiannetwork_tpu.core.base import Query
+from vectorizedbayesiannetwork_tpu.core.plan import get_plan
+from vectorizedbayesiannetwork_tpu.ops.sweep_pallas import (
+    _stacked_counts,
+    categorical_sweep_fused,
+    plan_tuple_for,
+)
+from vectorizedbayesiannetwork_tpu.ops.sweep_scan_pallas import (
+    _flat_counts,
+    categorical_sweep_scan,
+    make_scan_sweep_fn,
+    scan_batch_fits,
+    scan_struct_for,
+    scan_sweep_reason,
+)
+
+B, S = 4, 2048
+
+
+def _fit_vbn(bn, seed=0, rows=4096):
+    data = generate_dataset(bn, rows, seed=seed)
+    g = nx.DiGraph()
+    g.add_nodes_from(bn.nodes)
+    g.add_edges_from(bn.edges())
+    vbn = VBN(g, seed=seed)
+    conf = {}
+    for node in bn.nodes:
+        c = dict(defaults.cpd("categorical_table"), n_classes=bn.card(node))
+        if bn.parents[node]:
+            c["parent_n_classes"] = [bn.card(p) for p in bn.parents[node]]
+        conf[node] = c
+    vbn.set_learning_method("node_wise", nodes_cpds=conf)
+    vbn.fit(
+        {k: np.asarray(v, np.float32).reshape(-1, 1) for k, v in data.items()}
+    )
+    return vbn
+
+
+@pytest.fixture(scope="module")
+def fitted():
+    bn = asia()
+    vbn = _fit_vbn(bn)
+    query = Query(
+        target="dysp",
+        evidence={
+            "smoke": np.ones((B, 1), np.float32),
+            "asia": np.zeros((B, 1), np.float32),
+        },
+        do={},
+    )
+    plan = get_plan(vbn, query)
+    cpds = tuple(vbn.cpd_spec(n) for n in plan.topo_order)
+    params = tuple(vbn.params[n] for n in plan.topo_order)
+    return bn, vbn, plan, cpds, params
+
+
+def _mask_arrays(plan, b):
+    ev = np.zeros((b, plan.n_nodes), np.float32)
+    do = np.zeros((b, plan.n_nodes), np.float32)
+    for i in range(plan.n_nodes):
+        if plan.evidence_mask[i]:
+            ev[:, i] = 1.0
+        if plan.do_mask[i]:
+            do[:, i] = 1.0
+    tgt = np.full((b,), plan.target_idx, np.int32)
+    return ev, do, tgt
+
+
+def _packed(fixed_idx, ev, do):
+    return (
+        fixed_idx.astype(np.int32)
+        | np.where(ev > 0, 1 << 16, 0).astype(np.int32)
+        | np.where(do > 0, 1 << 17, 0).astype(np.int32)
+    )
+
+
+def test_gate_reasons(fitted):
+    bn, vbn, plan, cpds, params = fitted
+    assert scan_sweep_reason(plan, cpds, 2048) is None
+    assert "1024" in scan_sweep_reason(plan, cpds, 1000)
+    assert scan_batch_fits(plan, 64)
+    assert not scan_batch_fits(plan, 10**7)
+
+
+def test_scan_matches_unrolled_bitwise(fitted):
+    """Same uniforms => same draws, weights, and target densities as the
+    unrolled fused kernel (the walk is the same arithmetic sequence)."""
+    bn, vbn, plan, cpds, params = fitted
+    plan_struct, total_rows, cmax = plan_tuple_for(plan, cpds)
+    counts = _stacked_counts(cpds, params, total_rows, cmax)
+    struct = scan_struct_for(plan, cpds)
+    flat = _flat_counts(cpds, params)
+    rng = np.random.default_rng(3)
+    u = rng.uniform(1e-6, 1 - 1e-6, size=(B, plan.n_nodes, S)).astype(
+        np.float32
+    )
+    fixed_idx = np.zeros((B, plan.n_nodes), np.int32)
+    for i in range(plan.n_nodes):
+        if plan.evidence_mask[i]:
+            fixed_idx[:, i] = 1 if plan.topo_order[i] == "smoke" else 0
+    ev, do, tgt = _mask_arrays(plan, B)
+
+    logw_u, tgt_u, lpt_u, _ = categorical_sweep_fused(
+        jax.random.PRNGKey(0), jnp.asarray(fixed_idx), counts, plan_struct,
+        S, interpret=True, u_ext=jnp.asarray(u), want=("logw", "tgt", "lpt"),
+    )
+    logw_s, tgt_s, lpt_s, _ = categorical_sweep_scan(
+        jax.random.PRNGKey(0), jnp.asarray(_packed(fixed_idx, ev, do)),
+        jnp.asarray(tgt), flat, struct, S, interpret=True,
+        u_ext=jnp.asarray(u), want=("logw", "tgt", "lpt"),
+    )
+    np.testing.assert_array_equal(np.asarray(tgt_s), np.asarray(tgt_u))
+    np.testing.assert_allclose(
+        np.asarray(logw_s), np.asarray(logw_u), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(lpt_s), np.asarray(lpt_u), atol=1e-6
+    )
+
+
+def test_scan_heterogeneous_rows_match_numpy():
+    """Rows with DIFFERENT evidence patterns and targets in one dispatch:
+    each row must match the independent numpy sweep run with that row's
+    masks (the mask-dynamic contract)."""
+    bn = random_bn(n_nodes=24, max_card=4, seed=7)
+    vbn = _fit_vbn(bn, seed=1)
+    topo = tuple(vbn.dag.topological_order())
+    plan = get_plan(vbn, Query(target=topo[0], evidence={}, do={}))
+    cpds = tuple(vbn.cpd_spec(n) for n in plan.topo_order)
+    params = tuple(vbn.params[n] for n in plan.topo_order)
+    struct = scan_struct_for(plan, cpds)
+    flat = _flat_counts(cpds, params)
+    n = plan.n_nodes
+    b = 5
+    rng = np.random.default_rng(9)
+    u = rng.uniform(1e-6, 1 - 1e-6, size=(b, n, S)).astype(np.float32)
+    ev = np.zeros((b, n), np.float32)
+    do = np.zeros((b, n), np.float32)
+    fixed_idx = np.zeros((b, n), np.int32)
+    tgt = np.zeros((b,), np.int32)
+    cards = [c.resolved_classes for c in cpds]
+    for r in range(b):
+        picks = rng.choice(n, size=4, replace=False)
+        tgt[r] = picks[0]
+        ev[r, picks[1]] = 1.0
+        ev[r, picks[2]] = 1.0
+        do[r, picks[3]] = 1.0
+        for i in (picks[1], picks[2], picks[3]):
+            fixed_idx[r, i] = rng.integers(0, cards[i])
+
+    logw, tgtv, lpt, _ = categorical_sweep_scan(
+        jax.random.PRNGKey(0), jnp.asarray(_packed(fixed_idx, ev, do)),
+        jnp.asarray(tgt), flat, struct, S, interpret=True,
+        u_ext=jnp.asarray(u), want=("logw", "tgt", "lpt"),
+    )
+    # per-row numpy reference with that row's masks baked into the struct
+    (eoff, rows_a, cards_a, pids, strides, total_e, pmax, cmax) = struct
+    # rebuild the unrolled-kernel-style struct per row
+    row_offs = []
+    at = 0
+    for i in range(n):
+        row_offs.append(at)
+        at += rows_a[i]
+    counts_np = np.zeros((at, max(cards_a)), np.float64)
+    flat_np = np.asarray(flat, np.float64)
+    for i in range(n):
+        blk = flat_np[eoff[i] : eoff[i] + rows_a[i] * cards_a[i]]
+        counts_np[
+            row_offs[i] : row_offs[i] + rows_a[i], : cards_a[i]
+        ] = blk.reshape(rows_a[i], cards_a[i])
+    for r in range(b):
+        ps = (
+            n,
+            tuple(tuple(p for p in pids[i][: len(plan.parent_idx[i])])
+                  for i in range(n)),
+            tuple(bool(ev[r, i]) for i in range(n)),
+            tuple(bool(do[r, i]) for i in range(n)),
+            int(tgt[r]),
+            tuple(row_offs),
+            tuple(rows_a),
+            tuple(cards_a),
+            tuple(strides),
+        )
+        ref_logw, ref_tgt, ref_lpt = _numpy_reference(
+            ps, counts_np, fixed_idx[r : r + 1], u[r : r + 1].astype(np.float64)
+        )
+        np.testing.assert_array_equal(np.asarray(tgtv)[r], ref_tgt[0])
+        np.testing.assert_allclose(
+            np.asarray(logw)[r], ref_logw[0], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(lpt)[r], ref_lpt[0], atol=1e-4
+        )
+
+
+def test_scan_pmf_reduction_matches_streams(fitted):
+    bn, vbn, plan, cpds, params = fitted
+    struct = scan_struct_for(plan, cpds)
+    flat = _flat_counts(cpds, params)
+    rng = np.random.default_rng(13)
+    u = rng.uniform(1e-6, 1 - 1e-6, size=(B, plan.n_nodes, S)).astype(
+        np.float32
+    )
+    fixed_idx = np.zeros((B, plan.n_nodes), np.int32)
+    for i in range(plan.n_nodes):
+        if plan.evidence_mask[i]:
+            fixed_idx[:, i] = 1 if plan.topo_order[i] == "smoke" else 0
+    ev, do, tgt = _mask_arrays(plan, B)
+    logw, tgtv, _, _ = categorical_sweep_scan(
+        jax.random.PRNGKey(0), jnp.asarray(_packed(fixed_idx, ev, do)),
+        jnp.asarray(tgt), flat, struct, S, interpret=True,
+        u_ext=jnp.asarray(u), want=("logw", "tgt"),
+    )
+    _, _, _, red = categorical_sweep_scan(
+        jax.random.PRNGKey(0), jnp.asarray(_packed(fixed_idx, ev, do)),
+        jnp.asarray(tgt), flat, struct, S, interpret=True,
+        u_ext=jnp.asarray(u), want=("pmf_logw",),
+    )
+    sums, m = red
+    w = np.exp(np.asarray(logw) - np.asarray(m)[:, None])
+    t = np.asarray(tgtv).astype(np.int32)
+    c = int(cpds[plan.target_idx].resolved_classes)
+    expect = np.zeros((B, c))
+    for j in range(c):
+        expect[:, j] = (w * (t == j)).sum(axis=1)
+    np.testing.assert_allclose(
+        np.asarray(sums)[:, :c], expect, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_make_scan_sweep_fn_raw(fitted):
+    """The program-level maker: packs masks, clips values, returns the
+    want streams (interpret mode, real PRNG path via external u)."""
+    bn, vbn, plan, cpds, params = fitted
+    raw = make_scan_sweep_fn(plan, cpds, 2048, want=("logw", "tgt"))
+    assert raw is not None
+    ev, do, tgt = _mask_arrays(plan, B)
+    fixed = np.zeros((B, plan.n_nodes), np.float32)
+    for i in range(plan.n_nodes):
+        if plan.evidence_mask[i]:
+            fixed[:, i] = 1.0 if plan.topo_order[i] == "smoke" else 0.0
+    logw, tgtv, lpt, red = raw(
+        params, jax.random.PRNGKey(0), jnp.asarray(fixed),
+        jnp.asarray(ev), jnp.asarray(do), jnp.asarray(tgt),
+    )
+    assert logw.shape == (B, 2048) and tgtv.shape == (B, 2048)
+    assert lpt is None and red is None
+    assert np.isfinite(np.asarray(logw)).all()
+    w = np.exp(np.asarray(logw)[0] - np.asarray(logw)[0].max())
+    t = np.asarray(tgtv)[0]
+    from benchmarking.exact import exact_posterior
+
+    p1 = float(w[t > 0.5].sum() / w.sum())
+    exact = exact_posterior(bn, "dysp", {"smoke": 1, "asia": 0})
+    assert abs(p1 - float(exact[1])) < 0.07
+
+
+def test_scan_sharded_matches_exact(fitted):
+    """shard_map composition on the ('data','particle') CPU mesh: the
+    psum-combined pmf reduction matches exact enumeration."""
+    from benchmarking.exact import exact_posterior
+    from vectorizedbayesiannetwork_tpu.parallel.mesh import make_mesh
+
+    bn, vbn, plan, cpds, params = fitted
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    mesh = make_mesh(n_data=2, n_particle=4)
+    raw = make_scan_sweep_fn(
+        plan, cpds, 1 << 14, want=("pmf_logw",), mesh=mesh
+    )
+    assert raw is not None
+    b = 2
+    ev, do, tgt = _mask_arrays(plan, b)
+    fixed = np.zeros((b, plan.n_nodes), np.float32)
+    for i in range(plan.n_nodes):
+        if plan.evidence_mask[i]:
+            fixed[:, i] = 1.0 if plan.topo_order[i] == "smoke" else 0.0
+    _, _, _, red = raw(
+        params, jax.random.PRNGKey(2), jnp.asarray(fixed),
+        jnp.asarray(ev), jnp.asarray(do), jnp.asarray(tgt),
+    )
+    sums, _m = red
+    c = int(cpds[plan.target_idx].resolved_classes)
+    pmf = np.asarray(sums)[:, :c]
+    pmf = pmf / pmf.sum(axis=1, keepdims=True)
+    exact = exact_posterior(bn, "dysp", {"smoke": 1, "asia": 0})
+    np.testing.assert_allclose(pmf[0], np.asarray(exact), atol=0.06)

@@ -1,0 +1,609 @@
+"""Scan-form fused categorical sweep: mask-dynamic, O(1) compile in N.
+
+The unrolled fused kernel (``sweep_pallas.py``) emits one program region
+per node, so Mosaic compile time grows linearly with the network —
+measured ~70 s at 76 nodes — which is why its gate stops at
+``_MAX_NODES = 80`` and link/munin-scale networks (724/1041 nodes) fall
+back to the XLA ``lax.scan`` sweep (``inference/_discrete_sweep.py``).
+That scan path is correct but pays per-step HBM traffic on the packed
+[B, S, N] state and per-step gather/dynamic-slice overhead: 36.5 /
+71.6 ms per query at 724 / 1041 nodes (BENCH_NOTES r4).
+
+This kernel drives the SAME topological sweep from per-node metadata
+arrays instead of unrolled program text, so ONE ``lax.fori_loop`` body
+serves any network:
+
+- the flat CPT table (all nodes' counts, row-major ``[rows_i, card_i]``
+  blocks concatenated) rides in SMEM — counts are read as SCALARS on the
+  scalar core while the VPU does the per-particle masked selects, so the
+  per-row class walk costs ~one vector op per CPT entry;
+- node metadata (entry offsets, row/class counts, parent ids, mixed-radix
+  strides) are SMEM scalar-prefetch arrays indexed by the loop counter;
+- per-node values live in a VMEM scratch ``[N, TM, 128]`` indexed
+  dynamically (parents read back by node id);
+- evidence/do masks, clamped values, and the per-row target index are
+  RUNTIME inputs packed into one ``[B, N]`` i32 prefetch array — the
+  kernel is mask-dynamic: one compile per network serves every evidence
+  pattern, the Pallas analogue of ``_dynamic_sweep.dynamic_sweep_trace``;
+- outputs follow the unrolled kernel's ``want`` contract exactly
+  (streamed log-weights / target values / target log-density, or
+  in-kernel pmf/moment reductions with the flash-softmax tile combine),
+  and the inverse-CDF class walk reproduces the unrolled kernel's draws
+  BIT-EXACTLY given the same uniforms (pinned in
+  ``tests/test_sweep_scan_pallas.py``).
+
+Reference semantics served: the mask-dynamic likelihood-weighting /
+Monte-Carlo-marginalization sweeps
+(``/root/reference/vbn/inference/likelihood_weighting.py:11-82``,
+``/root/reference/vbn/inference/monte_carlo_marginalization.py:60-92``)
+over ``categorical_table`` CPDs
+(``/root/reference/vbn/cpds/categorical_table.py:23-417``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sweep_pallas import (
+    _LANE,
+    _combine_reduction,
+    _gate_log,
+    _parse_want,
+    _reduction_tile,
+    _uniform_from_bits,
+    sweep_pallas_available,
+)
+
+_MAX_C = 64  # class walk budget per row (reduction lanes cap at 128)
+_MAX_NODES = 1500  # VMEM value scratch: N * 8 * 128 * 4 B <= ~6 MB
+# v5e SMEM is 1.00 MB; all prefetch operands are 1D (2D SMEM arrays
+# pad the minor dim to 128 words), so usage is the exact byte sum —
+# budget leaves ~124 KB for the compiler's own scalar state
+_SMEM_BUDGET = 900 * 1024  # bytes
+_EV_BIT = 1 << 16
+_DO_BIT = 1 << 17
+
+
+def scan_sweep_reason(plan, cpds, n_samples: int):
+    """None when the scan-form kernel applies, else the failing condition."""
+    from ..models.categorical_table import CategoricalTableCPD
+
+    if plan.n_nodes > _MAX_NODES:
+        return f"n_nodes {plan.n_nodes} > {_MAX_NODES}"
+    if n_samples % 1024 != 0:
+        return f"n_samples {n_samples} not a multiple of 1024"
+    total_entries = 0
+    for i, cpd in enumerate(cpds):
+        name = plan.topo_order[i]
+        if not isinstance(cpd, CategoricalTableCPD):
+            return f"node {name!r} is {type(cpd).__name__}, not categorical_table"
+        if cpd.output_dim != 1 or cpd.n_classes <= 0:
+            return f"node {name!r} lacks a declared class support"
+        if cpd.input_dim > 0 and cpd.parent_n_classes is None:
+            return f"node {name!r} lacks declared parent_n_classes"
+        if cpd.input_dim > 0 and cpd.parent_cards is None:
+            return f"node {name!r} is not fitted yet"
+        c = cpd.resolved_classes
+        if not 1 <= c <= _MAX_C:
+            return f"node {name!r} has {c} classes > {_MAX_C}"
+        total_entries += int(cpd._parent_states) * c
+    # flat table + per-node meta must fit the SMEM prefetch budget
+    # alongside the [B, N] packed query rows (checked per batch at trace
+    # time by scan_batch_fits).
+    meta_bytes = plan.n_nodes * 16 * 4
+    if total_entries * 4 + meta_bytes > _SMEM_BUDGET // 2:
+        return (
+            f"flat CPT table {total_entries} entries exceeds the SMEM "
+            f"budget ({_SMEM_BUDGET // 2} B for table+meta)"
+        )
+    return None
+
+
+def scan_sweep_supported(plan, cpds, n_samples: int) -> bool:
+    return scan_sweep_reason(plan, cpds, n_samples) is None
+
+
+def _table_bytes(plan, cpds) -> int:
+    entries = sum(
+        int(c._parent_states) * int(c.resolved_classes) for c in cpds
+    )
+    meta = plan.n_nodes * 16 * 4
+    return entries * 4 + meta
+
+
+def scan_batch_fits(plan, batch: int, cpds=None) -> bool:
+    """Trace-time check that the [N, B] packed prefetch fits SMEM
+    alongside the flat table + metadata (pass ``cpds`` for the exact
+    table size; without it, half the budget is assumed spoken for)."""
+    used = (
+        _table_bytes(plan, cpds) if cpds is not None else _SMEM_BUDGET // 2
+    )
+    return plan.n_nodes * batch * 4 + batch * 4 + used <= _SMEM_BUDGET
+
+
+def _scan_structure(plan, cpds):
+    """Host-side metadata arrays (numpy; become SMEM prefetch operands)."""
+    n = plan.n_nodes
+    pmax = max((len(p) for p in plan.parent_idx), default=0)
+    pmax = max(pmax, 1)
+    eoff = np.zeros((n,), np.int32)
+    rows = np.zeros((n,), np.int32)
+    cards = np.zeros((n,), np.int32)
+    pids = np.zeros((n, pmax), np.int32)
+    strides = np.zeros((n, pmax), np.int32)
+    at = 0
+    for i, cpd in enumerate(cpds):
+        eoff[i] = at
+        rows[i] = int(cpd._parent_states)
+        cards[i] = int(cpd.resolved_classes)
+        at += rows[i] * cards[i]
+        p = plan.parent_idx[i]
+        pids[i, : len(p)] = p
+        strides[i, : len(p)] = [int(s) for s in cpd._strides]
+    return eoff, rows, cards, pids, strides, int(at), int(pmax)
+
+
+def _flat_counts(cpds, params_tuple):
+    """All nodes' count tables, row-major, concatenated flat [E]."""
+    return jnp.concatenate(
+        [p["counts"][0].reshape(-1) for p in params_tuple]
+    ).astype(jnp.float32)
+
+
+def _scan_kernel(
+    seed_ref,  # SMEM [1] i32
+    packed_ref,  # SMEM [N * B] i32: fixed value | ev<<16 | do<<17
+    #            (flat: SMEM pads a 2D array's minor dim to 128 words,
+    #             which inflated [N, pmax] wiring tables 40x — measured
+    #             'Used 1.12M of 1.00M smem' at 724 nodes. 1D arrays
+    #             allocate exactly.)
+    tgt_ref,  # SMEM [B] i32 per-row target node index
+    eoff_ref,  # SMEM [N] i32 flat-table entry offsets
+    rows_ref,  # SMEM [N] i32 parent-state counts
+    card_ref,  # SMEM [N] i32 class counts
+    pids_ref,  # SMEM [N * pmax] i32 parent node ids (0-padded)
+    strides_ref,  # SMEM [N * pmax] i32 mixed-radix strides (0-padded)
+    tbl_ref,  # SMEM [E] f32 flat CPT counts
+    u_ref,  # VMEM [1, N * TM, 128] f32 external uniforms, or dummy
+    *rest,  # [logw?] + [tgt?] + [lpt?] [1, TM, 128] + [red?] [1,1,8,128]
+    #        + the [N, TM, 128] i32 VMEM value scratch (always last)
+    n_nodes: int,
+    n_rows_b: int,
+    pmax: int,
+    cmax: int,
+    tm: int,
+    external_u: bool,
+    want_logw: bool,
+    want_tgt: bool,
+    want_lpt: bool,
+    red_kind,
+    red_src,
+):
+    *out_refs, vals_ref = rest
+    b = pl.program_id(0)
+    st = pl.program_id(1)
+    if not external_u:
+        pltpu.prng_seed(seed_ref[0], b * pl.num_programs(1) + st)
+    ti = tgt_ref[b]
+    need_logw = want_logw or red_src == "logw"
+    need_lpt = want_lpt or red_src == "lpt"
+
+    def node_body(i, carry):
+        logw, lpt = carry
+        packed = packed_ref[i * n_rows_b + b]
+        fixed_v = packed & 0xFFFF
+        evm = (packed >> 16) & 1
+        fxm = (packed >> 16) & 3  # ev | do, nonzero when clamped
+        card = card_ref[i]
+        rows = rows_ref[i]
+        eoff = eoff_ref[i]
+
+        # mixed-radix parent row index; padded slots have stride 0 (and
+        # pid 0 — a garbage read times 0 is 0, so roots cost nothing)
+        pidx = jnp.zeros((tm, _LANE), jnp.int32)
+        for k in range(pmax):
+            pidx = pidx + (
+                vals_ref[pids_ref[i * pmax + k]]
+                * strides_ref[i * pmax + k]
+            )
+
+        # one uniform field per node regardless of masks: the PRNG
+        # stream stays mask-independent, so a given (seed, b, st) yields
+        # the same draws under every evidence pattern
+        if external_u:
+            u = u_ref[0, pl.ds(i * tm, tm), :]
+        else:
+            u = _uniform_from_bits((tm, _LANE))
+
+        def fixed_branch():
+            # per-row SCALAR total + count at the clamped class; one
+            # masked vector select per row
+            def row_body(r, lp_acc):
+                m = pidx == r
+                base = eoff + r * card
+
+                def cls_total(j, t):
+                    return t + tbl_ref[base + j]
+
+                total_s = jax.lax.fori_loop(0, card, cls_total, 0.0)
+                cnt_s = tbl_ref[base + fixed_v]
+                ratio = cnt_s / jnp.maximum(total_s, 1e-12)
+                lp_r = jnp.log(
+                    jnp.maximum(jnp.full((tm, _LANE), ratio), 1e-12)
+                )
+                return jnp.where(m, lp_r, lp_acc)
+
+            lp = jax.lax.fori_loop(
+                0, rows, row_body, jnp.zeros((tm, _LANE), jnp.float32)
+            )
+            return jnp.full((tm, _LANE), fixed_v, jnp.int32), lp
+
+        def latent_branch():
+            # inverse-CDF class walk with SCALAR row totals/cums: the
+            # scalar core streams the row's counts while the VPU does one
+            # compare+add per class — ~1 vector op per CPT entry, the
+            # same draw semantics (and bits) as the unrolled kernel
+            def row_body(r, val):
+                m = pidx == r
+                base = eoff + r * card
+
+                def cls_total(j, t):
+                    return t + tbl_ref[base + j]
+
+                total_s = jax.lax.fori_loop(0, card, cls_total, 0.0)
+                thresh = u * total_s
+
+                def cls_walk(j, c):
+                    val_r, cum_s = c
+                    cum_s = cum_s + tbl_ref[base + j]
+                    val_r = val_r + (cum_s <= thresh).astype(jnp.int32)
+                    return val_r, cum_s
+
+                val_r, _ = jax.lax.fori_loop(
+                    0, card - 1, cls_walk,
+                    (jnp.zeros((tm, _LANE), jnp.int32), 0.0),
+                )
+                return jnp.where(m, val_r, val)
+
+            val = jax.lax.fori_loop(
+                0, rows, row_body, jnp.zeros((tm, _LANE), jnp.int32)
+            )
+            return val, jnp.zeros((tm, _LANE), jnp.float32)
+
+        val, lp = jax.lax.cond(fxm > 0, fixed_branch, latent_branch)
+        vals_ref[i] = val
+
+        if need_logw:
+            logw = logw + evm.astype(jnp.float32) * lp
+        if need_lpt:
+            # target log-density at the FINAL value: the fixed branch's
+            # lp already is that; a latent target needs one extra pass
+            # over its entries (one node per row — negligible)
+            def lp_sampled():
+                def row_body(r, lp_acc):
+                    m = pidx == r
+                    base = eoff + r * card
+
+                    def cls_total(j, t):
+                        return t + tbl_ref[base + j]
+
+                    total_s = jax.lax.fori_loop(0, card, cls_total, 0.0)
+
+                    def cls_sel(j, acc):
+                        ratio = tbl_ref[base + j] / jnp.maximum(
+                            total_s, 1e-12
+                        )
+                        lp_j = jnp.log(
+                            jnp.maximum(
+                                jnp.full((tm, _LANE), ratio), 1e-12
+                            )
+                        )
+                        return acc + jnp.where(m & (val == j), lp_j, 0.0)
+
+                    return jax.lax.fori_loop(0, card, cls_sel, lp_acc)
+
+                return jax.lax.fori_loop(
+                    0, rows, row_body,
+                    jnp.zeros((tm, _LANE), jnp.float32),
+                )
+
+            lp_t = jax.lax.cond(
+                (i == ti) & (fxm == 0), lp_sampled, lambda: lp
+            )
+            lpt = jnp.where(i == ti, lp_t, lpt)
+        return logw, lpt
+
+    logw, lpt = jax.lax.fori_loop(
+        0,
+        n_nodes,
+        node_body,
+        (
+            jnp.zeros((tm, _LANE), jnp.float32),
+            jnp.zeros((tm, _LANE), jnp.float32),
+        ),
+    )
+
+    val_t = vals_ref[ti]
+    oi = 0
+    if want_logw:
+        out_refs[oi][0] = logw
+        oi += 1
+    if want_tgt:
+        out_refs[oi][0] = val_t.astype(jnp.float32)
+        oi += 1
+    if want_lpt:
+        out_refs[oi][0] = lpt
+        oi += 1
+    if red_kind is not None:
+        src = logw if red_src == "logw" else lpt
+        out_refs[oi][0, 0] = _reduction_tile(red_kind, src, val_t, cmax, tm)
+
+
+def _pick_tm(b: int, s: int, n: int) -> int:
+    tm = 8
+    while tm < 1024 and (s // (_LANE * tm)) * b > 4096 and (
+        n * tm * _LANE * 4 <= (6 << 20)
+    ):
+        tm *= 2
+    while s % (tm * _LANE) != 0:
+        tm //= 2
+    return tm
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("struct", "n_samples", "interpret", "want"),
+)
+def categorical_sweep_scan(
+    key: jax.Array,
+    packed: jax.Array,  # [B, N] i32: clipped value | ev<<16 | do<<17
+    tgt_idx: jax.Array,  # [B] i32
+    flat_counts: jax.Array,  # [E] f32
+    struct,  # static: (eoff, rows, cards, pids, strides as nested tuples,
+    #          total_entries, pmax, cmax)
+    n_samples: int,
+    interpret: bool = False,
+    u_ext=None,  # [B, N, S] f32 external uniforms (interpret mode)
+    want=("logw",),
+):
+    """Mask-dynamic scan-form fused sweep; returns
+    ``(log_w, target_vals, lp_tgt, red)`` per the ``want`` contract of
+    ``sweep_pallas.categorical_sweep_fused``."""
+    eoff, rows, cards, pids, strides, total_e, pmax, cmax = struct
+    b, n = packed.shape
+    s = n_samples
+    tm = _pick_tm(b, s, n)
+    s_tiles = s // (tm * _LANE)
+    seed = jax.random.bits(key, (1,), "uint32").astype(jnp.int32)
+
+    external_u = u_ext is not None
+    want_logw, want_tgt, want_lpt, red_kind, red_src = _parse_want(want)
+    n_stream = int(want_logw) + int(want_tgt) + int(want_lpt)
+
+    kernel = functools.partial(
+        _scan_kernel,
+        n_nodes=n, n_rows_b=b, pmax=pmax, cmax=cmax, tm=tm,
+        external_u=external_u,
+        want_logw=want_logw, want_tgt=want_tgt, want_lpt=want_lpt,
+        red_kind=red_kind, red_src=red_src,
+    )
+
+    meta = [
+        jnp.asarray(np.asarray(eoff, np.int32)),
+        jnp.asarray(np.asarray(rows, np.int32)),
+        jnp.asarray(np.asarray(cards, np.int32)),
+        jnp.asarray(np.asarray(pids, np.int32).reshape(-1)),
+        jnp.asarray(np.asarray(strides, np.int32).reshape(-1)),
+    ]
+    in_specs = []
+    operands = []
+    if external_u:
+        u_r = u_ext.reshape(b, n, s_tiles, tm, _LANE)
+        u_r = jnp.transpose(u_r, (0, 2, 1, 3, 4)).reshape(
+            b, s_tiles * n * tm, _LANE
+        )
+        in_specs.append(
+            pl.BlockSpec((1, n * tm, _LANE), lambda bb, st, *_: (bb, st, 0))
+        )
+        operands.append(u_r)
+    else:
+        in_specs.append(pl.BlockSpec((8, _LANE), lambda bb, st, *_: (0, 0)))
+        operands.append(jnp.zeros((8, _LANE), jnp.float32))  # unused
+
+    out_specs = [
+        pl.BlockSpec((1, tm, _LANE), lambda bb, st, *_: (bb, st, 0))
+        for _ in range(n_stream)
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, s_tiles * tm, _LANE), jnp.float32)
+        for _ in range(n_stream)
+    ]
+    if red_kind is not None:
+        out_specs.append(
+            pl.BlockSpec((1, 1, 8, _LANE), lambda bb, st, *_: (bb, st, 0, 0))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, s_tiles, 8, _LANE), jnp.float32)
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=9,
+        grid=(b, s_tiles),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((n, tm, _LANE), jnp.int32)],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(seed, packed.T.reshape(-1), tgt_idx, *meta, flat_counts, *operands)
+    oi = 0
+    logw = tgt = lpt = red = None
+    if want_logw:
+        logw, oi = outs[oi].reshape(b, s), oi + 1
+    if want_tgt:
+        tgt, oi = outs[oi].reshape(b, s), oi + 1
+    if want_lpt:
+        lpt, oi = outs[oi].reshape(b, s), oi + 1
+    if red_kind is not None:
+        red = _combine_reduction(outs[oi], b)
+    return logw, tgt, lpt, red
+
+
+def scan_struct_for(plan, cpds):
+    """Hashable static structure for ``categorical_sweep_scan``."""
+    eoff, rows, cards, pids, strides, total_e, pmax = _scan_structure(
+        plan, cpds
+    )
+    return (
+        tuple(eoff.tolist()),
+        tuple(rows.tolist()),
+        tuple(cards.tolist()),
+        tuple(map(tuple, pids.tolist())),
+        tuple(map(tuple, strides.tolist())),
+        total_e,
+        pmax,
+        int(max(cards.tolist())),
+    )
+
+
+def _shard_scan_sweep(mesh, call_local, key, packed, tgt_idx, counts, *,
+                      n, s_loc, want, interpret):
+    """Run the scan sweep under a ('data','particle') mesh via shard_map.
+
+    Query rows shard over 'data', particles over 'particle' (per-shard
+    seed folds); reductions combine with the pmax/psum pair at the
+    SURVEY.md §5.8 weight-normalization reduction point, exactly as in
+    ``sweep_pallas._shard_sweep``.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS, PARTICLE_AXIS
+
+    npart = mesh.shape[PARTICLE_AXIS]
+    want_logw, want_tgt, want_lpt, red_kind, _src = _parse_want(want)
+
+    def local(key, packed, tgt_idx, counts):
+        di = jax.lax.axis_index(DATA_AXIS)
+        pi = jax.lax.axis_index(PARTICLE_AXIS)
+        k = jax.random.fold_in(key, di * npart + pi)
+        u = None
+        if interpret:
+            u = jax.random.uniform(
+                jax.random.fold_in(k, 1),
+                (packed.shape[0], n, s_loc),
+                minval=1e-6,
+                maxval=1.0 - 1e-6,
+            )
+        logw, tgt, lpt, red = call_local(k, packed, tgt_idx, counts, u)
+        out = {}
+        if logw is not None:
+            out["logw"] = logw
+        if tgt is not None:
+            out["tgt"] = tgt
+        if lpt is not None:
+            out["lpt"] = lpt
+        if red is not None:
+            sums, m = red
+            mg = jax.lax.pmax(m, PARTICLE_AXIS)
+            out["red_sums"] = jax.lax.psum(
+                sums * jnp.exp(m - mg)[:, None], PARTICLE_AXIS
+            )
+            out["red_m"] = mg
+        return out
+
+    stream_spec = P(DATA_AXIS, PARTICLE_AXIS)
+    out_specs = {}
+    if want_logw:
+        out_specs["logw"] = stream_spec
+    if want_tgt:
+        out_specs["tgt"] = stream_spec
+    if want_lpt:
+        out_specs["lpt"] = stream_spec
+    if red_kind is not None:
+        out_specs["red_sums"] = P(DATA_AXIS, None)
+        out_specs["red_m"] = P(DATA_AXIS)
+    out = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    )(key, packed, tgt_idx, counts)
+    red = (out["red_sums"], out["red_m"]) if red_kind is not None else None
+    return out.get("logw"), out.get("tgt"), out.get("lpt"), red
+
+
+def make_scan_sweep_fn(plan, cpds, n_samples: int, want=("logw",),
+                       mesh=None):
+    """Return ``raw(params_tuple, key, fixed [B,N] f32, ev [B,N] f32,
+    do [B,N] f32, tgt [B] i32) -> (logw, tgt, lpt, red)`` using the
+    mask-dynamic scan-form kernel, or None when unsupported. The caller
+    must trace-time-check ``scan_batch_fits(plan, B)`` (the [B, N] packed
+    prefetch shares the SMEM budget with the flat table)."""
+    interpret = not sweep_pallas_available()
+    npart = 1
+    if mesh is not None:
+        from ..parallel.mesh import DATA_AXIS, PARTICLE_AXIS
+
+        npart = mesh.shape.get(PARTICLE_AXIS, 1)
+        if n_samples % npart != 0:
+            _gate_log(
+                plan, n_samples, mesh, "xla-scan",
+                f"n_samples {n_samples} not divisible by particle axis "
+                f"{npart}",
+            )
+            return None
+    s_loc = n_samples // npart
+
+    reason = scan_sweep_reason(plan, cpds, s_loc)
+    if reason is not None:
+        _gate_log(plan, n_samples, mesh, "xla-scan", reason)
+        return None
+    struct = scan_struct_for(plan, cpds)
+    cards = jnp.asarray([c.resolved_classes for c in cpds], jnp.int32)
+    n = plan.n_nodes
+
+    def call_local(k, packed, tgt_idx, counts, u):
+        return categorical_sweep_scan(
+            k, packed, tgt_idx, counts, struct, s_loc,
+            interpret=interpret, u_ext=u, want=want,
+        )
+
+    def raw(params_tuple, key, fixed_vals, ev_mask, do_mask, tgt_idx):
+        fixed_i = jnp.clip(
+            jnp.rint(jnp.nan_to_num(fixed_vals)).astype(jnp.int32),
+            0,
+            cards[None, :] - 1,
+        )
+        packed = (
+            fixed_i
+            | jnp.where(ev_mask > 0, _EV_BIT, 0)
+            | jnp.where(do_mask > 0, _DO_BIT, 0)
+        )
+        tgt_i = tgt_idx.astype(jnp.int32)
+        counts = _flat_counts(cpds, params_tuple)
+        if mesh is not None:
+            return _shard_scan_sweep(
+                mesh, call_local, key, packed, tgt_i, counts,
+                n=n, s_loc=s_loc, want=want, interpret=interpret,
+            )
+        u = None
+        if interpret:
+            u = jax.random.uniform(
+                jax.random.fold_in(key, 1),
+                (packed.shape[0], n, s_loc),
+                minval=1e-6,
+                maxval=1.0 - 1e-6,
+            )
+        return call_local(key, packed, tgt_i, counts, u)
+
+    _gate_log(plan, n_samples, mesh, "pallas-scan-categorical")
+    return raw
