@@ -305,3 +305,192 @@ def test_scan_sharded_matches_exact(fitted):
     pmf = pmf / pmf.sum(axis=1, keepdims=True)
     exact = exact_posterior(bn, "dysp", {"smoke": 1, "asia": 0})
     np.testing.assert_allclose(pmf[0], np.asarray(exact), atol=0.06)
+
+
+# ---------------------------------------------------------------------------
+# Linear-Gaussian scan-form sweep
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def lg_fitted():
+    from conftest import make_chain_df, make_chain_graph
+    from vectorizedbayesiannetwork_tpu import VBN, defaults
+
+    vbn = VBN(make_chain_graph(), seed=0)
+    vbn.set_learning_method(
+        "node_wise",
+        nodes_cpds={
+            k: defaults.cpd("linear_gaussian") for k in ["x0", "x1", "x2"]
+        },
+    )
+    vbn.fit(make_chain_df())
+    plan = get_plan(
+        vbn,
+        Query(
+            target="x2",
+            evidence={"x0": np.full((B, 1), 0.5, np.float32)},
+            do={},
+        ),
+    )
+    cpds = tuple(vbn.cpd_spec(n) for n in plan.topo_order)
+    params = tuple(vbn.params[n] for n in plan.topo_order)
+    return vbn, plan, cpds, params
+
+
+def test_lg_scan_matches_unrolled_bitwise(lg_fitted):
+    from vectorizedbayesiannetwork_tpu.ops.sweep_pallas import (
+        lg_param_table,
+        lg_plan_tuple_for,
+        lg_sweep_fused,
+    )
+    from vectorizedbayesiannetwork_tpu.ops.sweep_scan_pallas import (
+        lg_ptab_flat,
+        lg_scan_struct_for,
+        lg_sweep_scan,
+    )
+
+    vbn, plan, cpds, params = lg_fitted
+    n = plan.n_nodes
+    plan_struct, dmax = lg_plan_tuple_for(plan, cpds)
+    ptab = lg_param_table(cpds, params, dmax, tuple(c.min_scale for c in cpds))
+    struct = lg_scan_struct_for(plan, cpds)
+    ptab_f = lg_ptab_flat(cpds, params, struct[2])
+    rng = np.random.default_rng(5)
+    u = rng.uniform(1e-6, 1 - 1e-6, size=(B, 2 * n, S)).astype(np.float32)
+    fixed = np.zeros((B, n), np.float32)
+    ev = np.zeros((B, n), np.float32)
+    do = np.zeros((B, n), np.float32)
+    for i in range(n):
+        if plan.evidence_mask[i]:
+            fixed[:, i] = 0.5
+            ev[:, i] = 1.0
+    flags = (np.where(ev > 0, 1, 0) | np.where(do > 0, 2, 0)).astype(np.int32)
+    tgt = np.full((B,), plan.target_idx, np.int32)
+
+    logw_u, tgt_u, lpt_u, _ = lg_sweep_fused(
+        jax.random.PRNGKey(0), jnp.asarray(fixed), ptab, plan_struct,
+        dmax, S, interpret=True, u_ext=jnp.asarray(u),
+        want=("logw", "tgt", "lpt"),
+    )
+    logw_s, tgt_s, lpt_s, _ = lg_sweep_scan(
+        jax.random.PRNGKey(0), jnp.asarray(fixed), jnp.asarray(flags),
+        jnp.asarray(tgt), ptab_f, struct, S, interpret=True,
+        u_ext=jnp.asarray(u), want=("logw", "tgt", "lpt"),
+    )
+    np.testing.assert_allclose(
+        np.asarray(tgt_s), np.asarray(tgt_u), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(logw_s), np.asarray(logw_u), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(lpt_s), np.asarray(lpt_u), atol=1e-5
+    )
+
+
+def test_lg_scan_raw_posterior(lg_fitted):
+    """make_scan_sweep_fn falls through to the LG kernel; the weighted
+    posterior mean matches the closed-form chain value."""
+    vbn, plan, cpds, params = lg_fitted
+    raw = make_scan_sweep_fn(plan, cpds, 4096, want=("logw", "tgt"))
+    assert raw is not None
+    n = plan.n_nodes
+    fixed = np.zeros((B, n), np.float32)
+    ev = np.zeros((B, n), np.float32)
+    for i in range(n):
+        if plan.evidence_mask[i]:
+            fixed[:, i] = 0.5
+            ev[:, i] = 1.0
+    do = np.zeros((B, n), np.float32)
+    tgt = np.full((B,), plan.target_idx, np.int32)
+    logw, tgtv, _, _ = raw(
+        params, jax.random.PRNGKey(1), jnp.asarray(fixed), jnp.asarray(ev),
+        jnp.asarray(do), jnp.asarray(tgt),
+    )
+    w = np.exp(np.asarray(logw)[0] - np.asarray(logw)[0].max())
+    x = np.asarray(tgtv)[0]
+    mean = (w * x).sum() / w.sum()
+    # conftest testbed: x2 = 0.5*x0 - 0.2*x1; x0 = 0.5 observed, x1 latent
+    expect = 0.5 * 0.5
+    assert abs(mean - expect) < 0.08, (mean, expect)
+
+
+def test_lg_scan_moments_reduction(lg_fitted):
+    from vectorizedbayesiannetwork_tpu.ops.sweep_scan_pallas import (
+        lg_ptab_flat,
+        lg_scan_struct_for,
+        lg_sweep_scan,
+    )
+
+    vbn, plan, cpds, params = lg_fitted
+    n = plan.n_nodes
+    struct = lg_scan_struct_for(plan, cpds)
+    ptab_f = lg_ptab_flat(cpds, params, struct[2])
+    rng = np.random.default_rng(7)
+    u = rng.uniform(1e-6, 1 - 1e-6, size=(B, 2 * n, S)).astype(np.float32)
+    fixed = np.zeros((B, n), np.float32)
+    ev = np.zeros((B, n), np.float32)
+    for i in range(n):
+        if plan.evidence_mask[i]:
+            fixed[:, i] = 0.5
+            ev[:, i] = 1.0
+    flags = np.where(ev > 0, 1, 0).astype(np.int32)
+    tgt = np.full((B,), plan.target_idx, np.int32)
+    logw, tgtv, _, _ = lg_sweep_scan(
+        jax.random.PRNGKey(0), jnp.asarray(fixed), jnp.asarray(flags),
+        jnp.asarray(tgt), ptab_f, struct, S, interpret=True,
+        u_ext=jnp.asarray(u), want=("logw", "tgt"),
+    )
+    _, _, _, red = lg_sweep_scan(
+        jax.random.PRNGKey(0), jnp.asarray(fixed), jnp.asarray(flags),
+        jnp.asarray(tgt), ptab_f, struct, S, interpret=True,
+        u_ext=jnp.asarray(u), want=("mom_logw",),
+    )
+    sums, m = red
+    w = np.exp(np.asarray(logw) - np.asarray(m)[:, None])
+    x = np.asarray(tgtv)
+    expect = np.stack(
+        [w.sum(1), (w * x).sum(1), (w * x * x).sum(1)], axis=1
+    )
+    np.testing.assert_allclose(
+        np.asarray(sums)[:, :3], expect, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_scan_chunked_batches(fitted, monkeypatch):
+    """Oversized batches self-chunk into SMEM-sized dispatches (the
+    link/munin serving-bucket case): posteriors stay exact per row."""
+    import vectorizedbayesiannetwork_tpu.ops.sweep_scan_pallas as ssp
+    from benchmarking.exact import exact_posterior
+
+    bn, vbn, plan, cpds, params = fitted
+    # shrink the budget to the smallest value the table gate still
+    # accepts, so a 40-row batch needs multiple chunks
+    monkeypatch.setattr(
+        ssp, "_SMEM_BUDGET", 2 * ssp._table_bytes(plan, cpds)
+    )
+    assert ssp._chunk_cap(
+        lambda b: ssp.scan_batch_fits(plan, b, cpds), 40
+    ) < 40
+    raw = make_scan_sweep_fn(plan, cpds, 1 << 13, want=("pmf_logw",))
+    assert raw is not None
+    b = 40
+    ev, do, tgt = _mask_arrays(plan, b)
+    fixed = np.zeros((b, plan.n_nodes), np.float32)
+    for i in range(plan.n_nodes):
+        if plan.evidence_mask[i]:
+            fixed[:, i] = 1.0 if plan.topo_order[i] == "smoke" else 0.0
+    _, _, _, red = raw(
+        params, jax.random.PRNGKey(4), jnp.asarray(fixed),
+        jnp.asarray(ev), jnp.asarray(do), jnp.asarray(tgt),
+    )
+    sums, m = red
+    assert sums.shape[0] == b and m.shape[0] == b
+    pmf = np.asarray(sums)[:, :2]
+    pmf = pmf / pmf.sum(axis=1, keepdims=True)
+    gt = np.asarray(exact_posterior(bn, "dysp", {"smoke": 1, "asia": 0}))
+    # chunks draw from DIFFERENT folded keys: rows across chunk
+    # boundaries must all be near-exact yet not bit-identical clones
+    np.testing.assert_allclose(pmf, np.tile(gt, (b, 1)), atol=0.05)
+    assert not np.allclose(pmf[0], pmf[-1], atol=1e-12)

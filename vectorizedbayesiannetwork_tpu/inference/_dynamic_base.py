@@ -197,8 +197,27 @@ class DynamicMaskMethod(CompiledMethod):
     def _dynamic_opts(self, kwargs) -> Tuple:
         return ()
 
-    def _dynamic_fn(self, plan, cpds, s: int, opts: Tuple):
+    def _dynamic_fn(self, plan, cpds, s: int, opts: Tuple, vbn=None):
         raise NotImplementedError
+
+    def _fused_dyn_raw(self, plan, cpds, s: int, vbn, want):
+        """Mask-dynamic scan-form Pallas sweep (ops/sweep_scan_pallas.py)
+        for this plan, or None. One compiled kernel per network serves
+        every evidence pattern — the fused analogue of
+        ``dynamic_sweep_trace`` (measured 27-38x over the XLA scan at
+        724/1041 nodes, BENCH_NOTES r4). The caller must still check
+        ``scan_batch_fits`` at trace time (SMEM holds the [N, B] packed
+        query rows)."""
+        from .likelihood_weighting import LikelihoodWeighting
+
+        if not LikelihoodWeighting._fused_gate(vbn):
+            return None
+        from ..ops.sweep_scan_pallas import make_scan_sweep_fn
+
+        return make_scan_sweep_fn(
+            plan, cpds, s, want=want,
+            mesh=getattr(vbn, "_mesh", None) if vbn is not None else None,
+        )
 
     def _note_dynamic_aux(self, aux: List, sl: slice) -> None:
         pass
@@ -232,7 +251,7 @@ class DynamicMaskMethod(CompiledMethod):
         return Program(
             plan,
             (self.dynamic_tag, s) + opts + (b_pad,),
-            self._dynamic_fn(plan, cpds, s, opts),
+            self._dynamic_fn(plan, cpds, s, opts, vbn),
             self._params_tuple(vbn, plan),
             inputs,
             post,
@@ -259,7 +278,7 @@ class DynamicMaskMethod(CompiledMethod):
             vbn,
             plan,
             (self.dynamic_tag, s) + opts + (b_pad,),
-            lambda: self._dynamic_fn(plan, cpds, s, opts),
+            lambda: self._dynamic_fn(plan, cpds, s, opts, vbn),
         )
         outs = prog_fn(
             self._params_tuple(vbn, plan), vbn.next_key_spec(), inputs
@@ -305,7 +324,7 @@ class DynamicMaskMethod(CompiledMethod):
         )
 
         def build():
-            inner = self._dynamic_fn(plan, cpds, s, opts)
+            inner = self._dynamic_fn(plan, cpds, s, opts, vbn)
 
             def fn(params_tuple, key, packed_in):
                 pdf, samples, *aux = inner(params_tuple, key, packed_in)
@@ -379,7 +398,7 @@ class DynamicMaskMethod(CompiledMethod):
         )
 
         def build():
-            inner = self._dynamic_fn(plan, cpds, s, opts)
+            inner = self._dynamic_fn(plan, cpds, s, opts, vbn)
 
             def fn(params_tuple, key, packed_in):
                 pdf, samples, *aux = inner(params_tuple, key, packed_in)

@@ -59,7 +59,7 @@ class ImportanceSampling(DynamicMaskMethod):
             return False
         return bool(np.asarray(self._fallback_dev))
 
-    def _dynamic_fn(self, plan, cpds, s, opts):
+    def _dynamic_fn(self, plan, cpds, s, opts, vbn=None):
         threshold = max(1.0, self.ess_threshold * float(s))
         # Static column->node table: the fallback's per-row evidence-column
         # sanitization mask derives in-graph from the runtime ev_mask.
@@ -68,12 +68,20 @@ class ImportanceSampling(DynamicMaskMethod):
             off = plan.node_offsets[idx]
             node_of_col[off : off + plan.node_dims[idx]] = idx
 
+        raw = self._fused_dyn_raw(plan, cpds, s, vbn, ("logw", "tgt"))
+
         def fn(params_tuple, key, packed_in):
             fixed_vals, evm, dom, ti = packed_in
             k_is, k_lw = jax.random.split(key)
-            packed, log_w = dynamic_sweep_trace(
-                plan, cpds, params_tuple, k_is, fixed_vals, evm, dom, s
-            )
+            fused = raw is not None and raw.fits(fixed_vals.shape[0])
+            if fused:
+                log_w, tv1_f, _, _ = raw(
+                    params_tuple, k_is, fixed_vals, evm, dom, ti
+                )
+            else:
+                packed, log_w = dynamic_sweep_trace(
+                    plan, cpds, params_tuple, k_is, fixed_vals, evm, dom, s
+                )
             weights = jax.nn.softmax(log_w, axis=1)
             ess = 1.0 / jnp.sum(weights**2, axis=1)
             # Padded rows carry no evidence -> uniform weights -> ESS == S,
@@ -89,18 +97,24 @@ class ImportanceSampling(DynamicMaskMethod):
             # fallback, importance_sampling.py:82-89).
             col_ev = jnp.take(evm, jnp.asarray(node_of_col), axis=1) > 0
             f_lw = jnp.where(col_ev, clamp_evidence(fixed_vals), fixed_vals)
-            p2, lw2 = dynamic_sweep_trace(
-                plan, cpds, params_tuple, k_lw, f_lw, evm, dom, s
-            )
+            if fused:
+                lw2, tv2_f, _, _ = raw(
+                    params_tuple, k_lw, f_lw, evm, dom, ti
+                )
+                tv1, tv2 = tv1_f[:, :, None], tv2_f[:, :, None]
+            else:
+                p2, lw2 = dynamic_sweep_trace(
+                    plan, cpds, params_tuple, k_lw, f_lw, evm, dom, s
+                )
+                # select per-row TARGET values, not the whole packed
+                # tensor: a [B, S, total_dim] where-select materializes
+                # (and lane-pads) three total_dim-wide arrays for
+                # nothing — only the target block survives.
+                tv1 = dynamic_target_values(plan, packed, ti)
+                tv2 = dynamic_target_values(plan, p2, ti)
             w_out = jnp.where(
                 collapse_row[:, None], jax.nn.softmax(lw2, axis=1), weights
             )
-            # select per-row TARGET values, not the whole packed tensor:
-            # a [B, S, total_dim] where-select materializes (and
-            # lane-pads) three total_dim-wide arrays for nothing — only
-            # the target block survives to the output.
-            tv1 = dynamic_target_values(plan, packed, ti)
-            tv2 = dynamic_target_values(plan, p2, ti)
             s_out = jnp.where(collapse_row[:, None, None], tv2, tv1)
             return (
                 w_out,

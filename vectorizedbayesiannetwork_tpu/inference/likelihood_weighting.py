@@ -96,12 +96,22 @@ class LikelihoodWeighting(DynamicMaskMethod):
             mesh=getattr(vbn, "_mesh", None), batch=batch,
         )
 
-    def _dynamic_fn(self, plan, cpds, s, opts):
-        """The one mask-dynamic program body (single + row-fused paths)."""
+    def _dynamic_fn(self, plan, cpds, s, opts, vbn=None):
+        """The one mask-dynamic program body (single + row-fused paths).
+        All-categorical plans ride the scan-form fused Pallas kernel
+        when the packed query rows fit SMEM; otherwise (or for other
+        CPD families) the XLA mask-dynamic sweep serves."""
         (normalize,) = opts
+        raw = self._fused_dyn_raw(plan, cpds, s, vbn, ("logw", "tgt"))
 
         def fn(params_tuple, key, packed_in):
             fixed_vals, evm, dom, ti = packed_in
+            if raw is not None and raw.fits(fixed_vals.shape[0]):
+                log_w, tgt, _, _ = raw(
+                    params_tuple, key, fixed_vals, evm, dom, ti
+                )
+                weights, ess = self._weights_from_logw(log_w, normalize)
+                return weights, tgt[:, :, None], ess
             packed, log_w = dynamic_sweep_trace(
                 plan, cpds, params_tuple, key, fixed_vals, evm, dom, s
             )

@@ -41,20 +41,30 @@ class MonteCarloMarginalization(DynamicMaskMethod):
         # distribution, clamped ancestors make it exact).
         self.dynamic_masks = bool(dynamic_masks)
 
-    def _dynamic_fn(self, plan, cpds, s, opts):
+    def _dynamic_fn(self, plan, cpds, s, opts, vbn=None):
+        raw = self._fused_dyn_raw(plan, cpds, s, vbn, ("lpt", "tgt"))
+
         def fn(params_tuple, key, packed_in):
             fixed_vals, evm, dom, ti = packed_in
             # MCM semantics: evidence AND do both clamp; nothing weights.
             fx = jnp.maximum(evm, dom)
             no_weight = jnp.zeros_like(evm)
             tgt = jax.nn.one_hot(ti, plan.n_nodes, dtype=jnp.float32)
+            do_t = jnp.sum(tgt * dom, axis=1)  # [B]
+            if raw is not None and raw.fits(fixed_vals.shape[0]):
+                # everything clamps via the kernel's do bit (no weights);
+                # lp_t is the target's log-density at its final value
+                _, tv, lp_t, _ = raw(
+                    params_tuple, key, fixed_vals, no_weight, fx, ti
+                )
+                pdf = jnp.where(do_t[:, None] > 0, 1.0, jnp.exp(lp_t))
+                return pdf, tv[:, :, None]
             packed, _, lp_t = dynamic_sweep_trace(
                 plan, cpds, params_tuple, key, fixed_vals,
                 no_weight, fx, s, tgt_mask=tgt,
             )
             # do(target) rows: degenerate delta at the intervened value
             # (the sweep already clamped the samples; pdf := 1).
-            do_t = jnp.sum(tgt * dom, axis=1)  # [B]
             pdf = jnp.where(do_t[:, None] > 0, 1.0, jnp.exp(lp_t))
             return pdf, dynamic_target_values(plan, packed, ti)
 

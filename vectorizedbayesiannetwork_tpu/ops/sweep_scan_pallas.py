@@ -118,13 +118,24 @@ def _table_bytes(plan, cpds) -> int:
 
 
 def scan_batch_fits(plan, batch: int, cpds=None) -> bool:
-    """Trace-time check that the [N, B] packed prefetch fits SMEM
-    alongside the flat table + metadata (pass ``cpds`` for the exact
-    table size; without it, half the budget is assumed spoken for)."""
-    used = (
-        _table_bytes(plan, cpds) if cpds is not None else _SMEM_BUDGET // 2
-    )
-    return plan.n_nodes * batch * 4 + batch * 4 + used <= _SMEM_BUDGET
+    """Trace-time check that the per-row query prefetch fits SMEM
+    alongside the network tables (family-aware: categorical packs one
+    [N*B] i32 row table; LG packs f32 values + i32 flags). Without
+    ``cpds``, half the budget is assumed spoken for."""
+    n = plan.n_nodes
+    if cpds is None:
+        return n * batch * 4 + batch * 4 + _SMEM_BUDGET // 2 <= _SMEM_BUDGET
+    from ..models.linear_gaussian import LinearGaussianCPD
+
+    if all(isinstance(c, LinearGaussianCPD) for c in cpds):
+        dmax = max((len(p) for p in plan.parent_idx), default=0)
+        return lg_scan_batch_fits(plan, batch, max(dmax, 1))
+    from ..models.categorical_table import CategoricalTableCPD
+
+    if not all(isinstance(c, CategoricalTableCPD) for c in cpds):
+        return False
+    used = _table_bytes(plan, cpds)
+    return n * batch * 4 + batch * 4 + used <= _SMEM_BUDGET
 
 
 def _scan_structure(plan, cpds):
@@ -541,13 +552,56 @@ def _shard_scan_sweep(mesh, call_local, key, packed, tgt_idx, counts, *,
     return out.get("logw"), out.get("tgt"), out.get("lpt"), red
 
 
+def _chunk_cap(fits, b: int) -> int:
+    """Largest row count <= b passing ``fits`` (halving search)."""
+    cap = b
+    while cap > 1 and not fits(cap):
+        cap = (cap + 1) // 2
+    return cap
+
+
+def _run_chunked(run_one, key, b: int, cap: int, row_args):
+    """Split the batch into SMEM-sized fused dispatches (the [N*B]
+    query-row prefetch shares SMEM with the network tables, so a large
+    serving bucket cannot ride one kernel launch at link/munin node
+    counts). Per-chunk key folds keep draws independent; outputs
+    concatenate back along the row axis."""
+    if b <= cap:
+        return run_one(key, *row_args)
+    parts = []
+    for ci, lo in enumerate(range(0, b, cap)):
+        hi = min(lo + cap, b)
+        parts.append(
+            run_one(
+                jax.random.fold_in(key, ci),
+                *(a[lo:hi] for a in row_args),
+            )
+        )
+    merged = []
+    for j in range(4):
+        vals = [p[j] for p in parts]
+        if vals[0] is None:
+            merged.append(None)
+        elif j == 3:  # reduction: (sums [B,128], m [B]) pair
+            merged.append(
+                (
+                    jnp.concatenate([v[0] for v in vals], axis=0),
+                    jnp.concatenate([v[1] for v in vals], axis=0),
+                )
+            )
+        else:
+            merged.append(jnp.concatenate(vals, axis=0))
+    return tuple(merged)
+
+
 def make_scan_sweep_fn(plan, cpds, n_samples: int, want=("logw",),
                        mesh=None):
     """Return ``raw(params_tuple, key, fixed [B,N] f32, ev [B,N] f32,
     do [B,N] f32, tgt [B] i32) -> (logw, tgt, lpt, red)`` using the
-    mask-dynamic scan-form kernel, or None when unsupported. The caller
-    must trace-time-check ``scan_batch_fits(plan, B)`` (the [B, N] packed
-    prefetch shares the SMEM budget with the flat table)."""
+    mask-dynamic scan-form kernel, or None when unsupported. Oversized
+    batches self-chunk into SMEM-sized fused dispatches (single-device
+    path); under a mesh the per-shard rows must fit — check
+    ``raw.fits(B)`` at trace time."""
     interpret = not sweep_pallas_available()
     npart = 1
     if mesh is not None:
@@ -565,6 +619,11 @@ def make_scan_sweep_fn(plan, cpds, n_samples: int, want=("logw",),
 
     reason = scan_sweep_reason(plan, cpds, s_loc)
     if reason is not None:
+        lg = _make_lg_scan_fn(
+            plan, cpds, n_samples, s_loc, want, mesh, interpret
+        )
+        if lg is not None:
+            return lg
         _gate_log(plan, n_samples, mesh, "xla-scan", reason)
         return None
     struct = scan_struct_for(plan, cpds)
@@ -595,15 +654,415 @@ def make_scan_sweep_fn(plan, cpds, n_samples: int, want=("logw",),
                 mesh, call_local, key, packed, tgt_i, counts,
                 n=n, s_loc=s_loc, want=want, interpret=interpret,
             )
+
+        def run_one(k, packed_c, tgt_c):
+            u = None
+            if interpret:
+                u = jax.random.uniform(
+                    jax.random.fold_in(k, 1),
+                    (packed_c.shape[0], n, s_loc),
+                    minval=1e-6,
+                    maxval=1.0 - 1e-6,
+                )
+            return call_local(k, packed_c, tgt_c, counts, u)
+
+        b = packed.shape[0]
+        cap = _chunk_cap(lambda bb: scan_batch_fits(plan, bb, cpds), b)
+        return _run_chunked(run_one, key, b, cap, (packed, tgt_i))
+
+    def fits(b: int) -> bool:
+        if mesh is None:
+            return True  # raw self-chunks
+        from ..parallel.mesh import DATA_AXIS
+
+        ndata = mesh.shape.get(DATA_AXIS, 1)
+        return b % ndata == 0 and scan_batch_fits(plan, b // ndata, cpds)
+
+    raw.fits = fits
+    _gate_log(plan, n_samples, mesh, "pallas-scan-categorical")
+    return raw
+
+
+# ---------------------------------------------------------------------------
+# Linear-Gaussian scan-form sweep (mask-dynamic; the gaussian-class
+# analogue — same metadata-driven O(1)-compile structure, no CPT table)
+# ---------------------------------------------------------------------------
+
+
+def lg_scan_reason(plan, cpds, n_samples: int):
+    from ..models.linear_gaussian import LinearGaussianCPD
+
+    if plan.n_nodes > _MAX_NODES:
+        return f"n_nodes {plan.n_nodes} > {_MAX_NODES}"
+    if n_samples % 1024 != 0:
+        return f"n_samples {n_samples} not a multiple of 1024"
+    for i, cpd in enumerate(cpds):
+        name = plan.topo_order[i]
+        if not isinstance(cpd, LinearGaussianCPD):
+            return f"node {name!r} is {type(cpd).__name__}, not linear_gaussian"
+        if cpd.output_dim != 1:
+            return f"node {name!r} has output_dim {cpd.output_dim} != 1"
+        if cpd.input_dim != len(plan.parent_idx[i]):
+            return f"node {name!r} has multi-dim parents (w table misaligns)"
+    return None
+
+
+def lg_scan_batch_fits(plan, batch: int, dmax: int) -> bool:
+    """fixed f32 + flags i32 ([N*B] each) + the flat param table in SMEM."""
+    n = plan.n_nodes
+    ptab = n * (dmax + 2) * 4
+    return 2 * n * batch * 4 + batch * 4 + ptab <= _SMEM_BUDGET
+
+
+def _lg_scan_kernel(
+    seed_ref,  # SMEM [1] i32
+    fixed_ref,  # SMEM [N * B] f32 clamped values (node-major)
+    flags_ref,  # SMEM [N * B] i32: ev | do<<1
+    tgt_ref,  # SMEM [B] i32
+    pids_ref,  # SMEM [N * pmax] i32 parent ids (0-padded)
+    ptab_ref,  # SMEM [N * (dmax + 2)] f32: w_0..w_{dmax-1}, bias, sigma
+    u_ref,  # VMEM [1, 2N * TM, 128] f32 external uniforms, or dummy
+    *rest,  # [logw?] + [tgt?] + [lpt?] [1, TM, 128] + [red?] [1,1,8,128]
+    #        + the [N, TM, 128] f32 VMEM value scratch (always last)
+    n_nodes: int,
+    pmax: int,
+    dmax: int,
+    tm: int,
+    external_u: bool,
+    want_logw: bool,
+    want_tgt: bool,
+    want_lpt: bool,
+    red_kind,
+    red_src,
+):
+    *out_refs, vals_ref = rest
+    b = pl.program_id(0)
+    st = pl.program_id(1)
+    if not external_u:
+        pltpu.prng_seed(seed_ref[0], b * pl.num_programs(1) + st)
+    ti = tgt_ref[b]
+    two_pi = jnp.float32(2.0 * np.pi)
+    half_log_2pi = jnp.float32(0.9189385332046727)
+    stride = dmax + 2
+
+    def node_body(i, carry):
+        logw, lpt = carry
+        flags = flags_ref[i * n_nodes_b + b]
+        fixed_v = fixed_ref[i * n_nodes_b + b]
+        evm = flags & 1
+
+        loc = jnp.full((tm, _LANE), ptab_ref[i * stride + dmax], jnp.float32)
+        for k in range(pmax):
+            # padded slots carry weight 0.0 and point at node 0, whose
+            # scratch may be UNINITIALIZED f32 (NaN * 0 == NaN) — gate
+            # the product on the weight being exactly zero
+            w_k = ptab_ref[i * stride + k]
+            loc = loc + jnp.where(
+                w_k != 0.0,
+                vals_ref[pids_ref[i * pmax + k]] * w_k,
+                0.0,
+            )
+        sigma = ptab_ref[i * stride + dmax + 1]
+
+        # mask-independent PRNG stream: both uniforms always drawn
+        if external_u:
+            u1 = u_ref[0, pl.ds((2 * i) * tm, tm), :]
+            u2 = u_ref[0, pl.ds((2 * i + 1) * tm, tm), :]
+        else:
+            u1 = _uniform_from_bits((tm, _LANE))
+            u2 = _uniform_from_bits((tm, _LANE))
+        z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(two_pi * u2)
+        sampled = loc + sigma * z
+        val = jnp.where(flags > 0, jnp.full((tm, _LANE), fixed_v), sampled)
+        vals_ref[i] = val
+
+        # lp at the FINAL value — cheap for LG, so always computed and
+        # mask-selected (no per-node lax.cond)
+        zz = (val - loc) / sigma
+        lp = -0.5 * zz * zz - jnp.log(sigma) - half_log_2pi
+        logw = logw + evm.astype(jnp.float32) * lp
+        lpt = jnp.where(i == ti, lp, lpt)
+        return logw, lpt
+
+    # closure constant: per-node row stride of the [N * B] SMEM arrays
+    n_nodes_b = pl.num_programs(0)
+
+    logw, lpt = jax.lax.fori_loop(
+        0,
+        n_nodes,
+        node_body,
+        (
+            jnp.zeros((tm, _LANE), jnp.float32),
+            jnp.zeros((tm, _LANE), jnp.float32),
+        ),
+    )
+
+    val_t = vals_ref[ti]
+    oi = 0
+    if want_logw:
+        out_refs[oi][0] = logw
+        oi += 1
+    if want_tgt:
+        out_refs[oi][0] = val_t
+        oi += 1
+    if want_lpt:
+        out_refs[oi][0] = lpt
+        oi += 1
+    if red_kind is not None:
+        src = logw if red_src == "logw" else lpt
+        out_refs[oi][0, 0] = _reduction_tile(red_kind, src, val_t, 0, tm)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("struct", "n_samples", "interpret", "want"),
+)
+def lg_sweep_scan(
+    key: jax.Array,
+    fixed_vals: jax.Array,  # [B, N] f32 clamped values
+    flags: jax.Array,  # [B, N] i32: ev | do<<1
+    tgt_idx: jax.Array,  # [B] i32
+    ptab_flat: jax.Array,  # [N * (dmax + 2)] f32
+    struct,  # static: (pids nested tuple, pmax, dmax)
+    n_samples: int,
+    interpret: bool = False,
+    u_ext=None,  # [B, 2N, S] f32 external uniforms (interpret mode)
+    want=("logw",),
+):
+    pids, pmax, dmax = struct
+    b, n = fixed_vals.shape
+    s = n_samples
+    tm = _pick_tm(b, s, n)
+    s_tiles = s // (tm * _LANE)
+    seed = jax.random.bits(key, (1,), "uint32").astype(jnp.int32)
+
+    external_u = u_ext is not None
+    want_logw, want_tgt, want_lpt, red_kind, red_src = _parse_want(want)
+    n_stream = int(want_logw) + int(want_tgt) + int(want_lpt)
+
+    kernel = functools.partial(
+        _lg_scan_kernel,
+        n_nodes=n, pmax=pmax, dmax=dmax, tm=tm, external_u=external_u,
+        want_logw=want_logw, want_tgt=want_tgt, want_lpt=want_lpt,
+        red_kind=red_kind, red_src=red_src,
+    )
+    pids_flat = jnp.asarray(np.asarray(pids, np.int32).reshape(-1))
+    in_specs = []
+    operands = []
+    if external_u:
+        u_r = u_ext.reshape(b, 2 * n, s_tiles, tm, _LANE)
+        u_r = jnp.transpose(u_r, (0, 2, 1, 3, 4)).reshape(
+            b, s_tiles * 2 * n * tm, _LANE
+        )
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 2 * n * tm, _LANE), lambda bb, st, *_: (bb, st, 0)
+            )
+        )
+        operands.append(u_r)
+    else:
+        in_specs.append(pl.BlockSpec((8, _LANE), lambda bb, st, *_: (0, 0)))
+        operands.append(jnp.zeros((8, _LANE), jnp.float32))  # unused
+
+    out_specs = [
+        pl.BlockSpec((1, tm, _LANE), lambda bb, st, *_: (bb, st, 0))
+        for _ in range(n_stream)
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, s_tiles * tm, _LANE), jnp.float32)
+        for _ in range(n_stream)
+    ]
+    if red_kind is not None:
+        out_specs.append(
+            pl.BlockSpec((1, 1, 8, _LANE), lambda bb, st, *_: (bb, st, 0, 0))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, s_tiles, 8, _LANE), jnp.float32)
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(b, s_tiles),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((n, tm, _LANE), jnp.float32)],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        seed,
+        fixed_vals.T.reshape(-1),
+        flags.T.reshape(-1),
+        tgt_idx,
+        pids_flat,
+        ptab_flat,
+        *operands,
+    )
+    oi = 0
+    logw = tgt = lpt = red = None
+    if want_logw:
+        logw, oi = outs[oi].reshape(b, s), oi + 1
+    if want_tgt:
+        tgt, oi = outs[oi].reshape(b, s), oi + 1
+    if want_lpt:
+        lpt, oi = outs[oi].reshape(b, s), oi + 1
+    if red_kind is not None:
+        red = _combine_reduction(outs[oi], b)
+    return logw, tgt, lpt, red
+
+
+def lg_scan_struct_for(plan, cpds):
+    pmax = max((len(p) for p in plan.parent_idx), default=0)
+    pmax = max(pmax, 1)
+    n = plan.n_nodes
+    pids = np.zeros((n, pmax), np.int32)
+    for i in range(n):
+        pids[i, : len(plan.parent_idx[i])] = plan.parent_idx[i]
+    dmax = max((len(p) for p in plan.parent_idx), default=0)
+    dmax = max(dmax, 1)
+    return (tuple(map(tuple, pids.tolist())), pmax, dmax)
+
+
+def lg_ptab_flat(cpds, params_tuple, dmax: int):
+    """[N * (dmax + 2)] flat rows: w_0..w_{dmax-1}, bias, sigma."""
+    rows = []
+    for cpd, params in zip(cpds, params_tuple):
+        w = params["weight"][:, 0]
+        pad = jnp.zeros((dmax - w.shape[0],), jnp.float32)
+        sigma = jnp.sqrt(
+            jnp.maximum(params["var"][0], float(cpd.min_scale) ** 2)
+        )
+        rows.append(
+            jnp.concatenate([w, pad, params["bias"], sigma[None]])
+        )
+    return jnp.concatenate(rows).astype(jnp.float32)
+
+
+def _shard_lg_scan(mesh, call_local, key, fixed, flags, tgt_idx, ptab, *,
+                   n, s_loc, want, interpret):
+    """LG scan sweep under the ('data','particle') mesh (same reduction
+    scheme as ``_shard_scan_sweep``)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS, PARTICLE_AXIS
+
+    npart = mesh.shape[PARTICLE_AXIS]
+    want_logw, want_tgt, want_lpt, red_kind, _src = _parse_want(want)
+
+    def local(key, fixed, flags, tgt_idx, ptab):
+        di = jax.lax.axis_index(DATA_AXIS)
+        pi = jax.lax.axis_index(PARTICLE_AXIS)
+        k = jax.random.fold_in(key, di * npart + pi)
         u = None
         if interpret:
             u = jax.random.uniform(
-                jax.random.fold_in(key, 1),
-                (packed.shape[0], n, s_loc),
+                jax.random.fold_in(k, 1),
+                (fixed.shape[0], 2 * n, s_loc),
                 minval=1e-6,
                 maxval=1.0 - 1e-6,
             )
-        return call_local(key, packed, tgt_i, counts, u)
+        logw, tgt, lpt, red = call_local(k, fixed, flags, tgt_idx, ptab, u)
+        out = {}
+        if logw is not None:
+            out["logw"] = logw
+        if tgt is not None:
+            out["tgt"] = tgt
+        if lpt is not None:
+            out["lpt"] = lpt
+        if red is not None:
+            sums, m = red
+            mg = jax.lax.pmax(m, PARTICLE_AXIS)
+            out["red_sums"] = jax.lax.psum(
+                sums * jnp.exp(m - mg)[:, None], PARTICLE_AXIS
+            )
+            out["red_m"] = mg
+        return out
 
-    _gate_log(plan, n_samples, mesh, "pallas-scan-categorical")
+    stream_spec = P(DATA_AXIS, PARTICLE_AXIS)
+    out_specs = {}
+    if want_logw:
+        out_specs["logw"] = stream_spec
+    if want_tgt:
+        out_specs["tgt"] = stream_spec
+    if want_lpt:
+        out_specs["lpt"] = stream_spec
+    if red_kind is not None:
+        out_specs["red_sums"] = P(DATA_AXIS, None)
+        out_specs["red_m"] = P(DATA_AXIS)
+    out = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(), P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS), P()
+        ),
+        out_specs=out_specs,
+        check_vma=False,
+    )(key, fixed, flags, tgt_idx, ptab)
+    red = (out["red_sums"], out["red_m"]) if red_kind is not None else None
+    return out.get("logw"), out.get("tgt"), out.get("lpt"), red
+
+
+def _make_lg_scan_fn(plan, cpds, n_samples, s_loc, want, mesh, interpret):
+    reason = lg_scan_reason(plan, cpds, s_loc)
+    if reason is None and any(w.startswith("pmf_") for w in want):
+        # a class histogram over a continuous LG target is a binning
+        # question, not a kernel reduction (same refusal as the unrolled
+        # kernel, sweep_pallas.make_fused_sweep_fn)
+        reason = "pmf reduction undefined for continuous LG targets"
+    if reason is not None:
+        return None
+    struct = lg_scan_struct_for(plan, cpds)
+    dmax = struct[2]
+    n = plan.n_nodes
+
+    def call_local(k, fixed, flags, tgt_idx, ptab, u):
+        return lg_sweep_scan(
+            k, fixed, flags, tgt_idx, ptab, struct, s_loc,
+            interpret=interpret, u_ext=u, want=want,
+        )
+
+    def raw(params_tuple, key, fixed_vals, ev_mask, do_mask, tgt_idx):
+        fixed = jnp.nan_to_num(fixed_vals.astype(jnp.float32))
+        flags = (
+            jnp.where(ev_mask > 0, 1, 0) | jnp.where(do_mask > 0, 2, 0)
+        ).astype(jnp.int32)
+        tgt_i = tgt_idx.astype(jnp.int32)
+        ptab = lg_ptab_flat(cpds, params_tuple, dmax)
+        if mesh is not None:
+            return _shard_lg_scan(
+                mesh, call_local, key, fixed, flags, tgt_i, ptab,
+                n=n, s_loc=s_loc, want=want, interpret=interpret,
+            )
+
+        def run_one(k, fixed_c, flags_c, tgt_c):
+            u = None
+            if interpret:
+                u = jax.random.uniform(
+                    jax.random.fold_in(k, 1),
+                    (fixed_c.shape[0], 2 * n, s_loc),
+                    minval=1e-6,
+                    maxval=1.0 - 1e-6,
+                )
+            return call_local(k, fixed_c, flags_c, tgt_c, ptab, u)
+
+        b = fixed.shape[0]
+        cap = _chunk_cap(
+            lambda bb: lg_scan_batch_fits(plan, bb, dmax), b
+        )
+        return _run_chunked(run_one, key, b, cap, (fixed, flags, tgt_i))
+
+    def fits(b: int) -> bool:
+        if mesh is None:
+            return True  # raw self-chunks
+        from ..parallel.mesh import DATA_AXIS
+
+        ndata = mesh.shape.get(DATA_AXIS, 1)
+        return b % ndata == 0 and lg_scan_batch_fits(
+            plan, b // ndata, dmax
+        )
+
+    raw.fits = fits
+    _gate_log(plan, n_samples, mesh, "pallas-scan-linear-gaussian")
     return raw
