@@ -321,11 +321,16 @@ def read_bnfit(source, name: str = "bnfit"):
     if kinds == {"d"}:
         return _discrete_bnfit(obj, node_names, name)
     if kinds == {"g"}:
+        # an all-Gaussian net may still be conditional-Gaussian if any
+        # node carries a per-config coefficient MATRIX (bn.fit.cgnode)
+        if any(
+            n["coefficients"].attr("dim") is not None
+            for n in obj.value
+            if "coefficients" in (n.names or [])
+        ):
+            return _clg_bnfit(obj, node_names, name)
         return _gaussian_bnfit(obj, node_names, name)
-    raise RDSReadError(
-        "mixed discrete/Gaussian bn.fit (clgaussian) is not supported by "
-        "this converter yet"
-    )
+    return _clg_bnfit(obj, node_names, name)
 
 
 def _discrete_bnfit(obj: RObj, node_names: List[str], name: str):
@@ -380,6 +385,147 @@ def _gaussian_bnfit(obj: RObj, node_names: List[str], name: str):
         bias=bias,
         sigma=sigma,
     )
+
+
+def _clg_bnfit(obj: RObj, node_names: List[str], name: str):
+    """Mixed discrete/Gaussian bn.fit (R class ``bn.fit.cgnet``) ->
+    CLGaussianBN. Continuous nodes are ``bn.fit.cgnode`` (coefficients
+    MATRIX with one column per discrete-parent configuration in R
+    ``expand.grid`` order — FIRST discrete parent varies fastest — plus
+    ``dparents``/``gparents`` 1-based index vectors and ``dlevels``) or
+    plain ``bn.fit.gnode`` (named coefficient vector, one regime).
+    Semantics mirror the reference parser
+    (``/root/reference/benchmarking/bnlearn_bnfit.py:1024-1110``).
+    """
+    from .clg_bn import CLGaussianBN
+
+    clg = CLGaussianBN(name=name)
+    by_name = dict(zip(node_names, obj.value))
+
+    # pass 1: discrete nodes establish states/cards
+    states: Dict[str, List[str]] = {}
+    for node, node_obj in by_name.items():
+        if "prob" not in (node_obj.names or []):
+            continue
+        prob = node_obj["prob"]
+        dims = [int(d) for d in np.asarray(prob.attr("dim", []))]
+        dimnames = prob.attr("dimnames")
+        if not dims or dimnames is None:
+            raise RDSReadError(f"node {node!r}: prob lacks dim/dimnames")
+        states[str(node)] = [str(s) for s in dimnames[0].value]
+
+    # pass 2: all nodes
+    for node, node_obj in by_name.items():
+        node = str(node)
+        parents = [str(p) for p in (node_obj["parents"].value or [])]
+        clg.parents[node] = parents
+        if node in states:
+            clg.types[node] = "discrete"
+            clg.cards[node] = len(states[node])
+            prob = node_obj["prob"]
+            dims = [int(d) for d in np.asarray(prob.attr("dim", []))]
+            table = np.asarray(prob.value, np.float64).reshape(
+                dims, order="F"
+            )
+            clg.cpts[node] = np.moveaxis(table, 0, -1).tolist()
+            bad = [p for p in parents if p not in states]
+            if bad:
+                raise RDSReadError(
+                    f"discrete node {node!r} has continuous parents "
+                    f"{bad} (violates the CLG restriction)"
+                )
+            continue
+        clg.types[node] = "continuous"
+        names = node_obj.names or []
+        coefs = node_obj["coefficients"] if "coefficients" in names else (
+            node_obj["coef"]
+        )
+        sd = np.asarray(node_obj["sd"].value, np.float64).ravel()
+        dim = coefs.attr("dim")
+        if dim is None:
+            # gnode: single regime, all parents continuous
+            cnames = list(coefs.names or [])
+            cmap = dict(zip(cnames, np.asarray(coefs.value, np.float64)))
+            clg.bias[node] = [float(cmap.get("(Intercept)", 0.0))]
+            clg.weights[node] = [[float(cmap.get(p, 0.0)) for p in parents]]
+            clg.sigma[node] = [float(sd[0]) if sd.size else 1.0]
+            continue
+        # cgnode
+        nrow, ncol = (int(d) for d in np.asarray(dim))
+        mat = np.asarray(coefs.value, np.float64).reshape(
+            (nrow, ncol), order="F"
+        )
+        dp_idx = [
+            int(i) - 1
+            for i in np.asarray(node_obj["dparents"].value, np.int64)
+        ]
+        gp_idx = [
+            int(i) - 1
+            for i in np.asarray(node_obj["gparents"].value, np.int64)
+        ]
+        disc_par = [parents[i] for i in dp_idx]
+        cont_par = [parents[i] for i in gp_idx]
+        dlevels = node_obj["dlevels"] if "dlevels" in names else None
+        dlevels_list = (
+            [[str(s) for s in lv.value] for lv in dlevels.value]
+            if dlevels is not None
+            else [states[p] for p in disc_par]
+        )
+        dimnames = coefs.attr("dimnames")
+        if dimnames is not None and dimnames[0].value:
+            row_names = [str(r) for r in dimnames[0].value]
+        else:
+            row_names = ["(Intercept)"] + cont_par
+        row_of = {r: i for i, r in enumerate(row_names)}
+        int_row = row_of.get("(Intercept)", 0)
+        # regime order: CLGaussianBN.regime_index iterates disc parents
+        # in PARENTS order, first parent MOST significant
+        order = [p for p in parents if p in disc_par]
+        n_reg = int(np.prod([len(states[p]) for p in order])) if order else 1
+        bias = [0.0] * n_reg
+        weights = [[0.0] * len(cont_par) for _ in range(n_reg)]
+        sigma = [1.0] * n_reg
+        cards_el = [len(lv) for lv in dlevels_list]
+        for col in range(ncol):
+            # expand.grid: first dlevels entry varies fastest
+            rem, assign = col, {}
+            for p, lv in zip(disc_par, dlevels_list):
+                assign[p] = states[p].index(lv[rem % len(lv)])
+                rem //= len(lv)
+            r = 0
+            for p in order:
+                r = r * len(states[p]) + assign[p]
+            bias[r] = float(mat[int_row, col])
+            weights[r] = [
+                float(mat[row_of.get(p_, int_row), col])
+                if p_ in row_of
+                else 0.0
+                for p_ in cont_par
+            ]
+            sigma[r] = float(sd[col] if col < sd.size else sd[-1])
+        clg.bias[node] = bias
+        clg.weights[node] = weights
+        clg.sigma[node] = sigma
+
+    # topological order
+    seen: Dict[str, int] = {}
+    out: List[str] = []
+
+    def visit(v):
+        if seen.get(v) == 2:
+            return
+        if seen.get(v) == 1:
+            raise RDSReadError("cycle in bn.fit parent structure")
+        seen[v] = 1
+        for p in clg.parents[v]:
+            visit(p)
+        seen[v] = 2
+        out.append(v)
+
+    for v in by_name:
+        visit(str(v))
+    clg.nodes = out
+    return clg
 
 
 # ---------------------------------------------------------------------------
@@ -547,4 +693,116 @@ def bnfit_bytes(bn) -> bytes:
     w = _Writer()
     w.header()
     w.item(fit, attributes={"class": ["bn.fit", "bn.fit.dnet"]})
+    return gzip.compress(w.out.getvalue())
+
+
+def clg_bnfit_bytes(clg) -> bytes:
+    """Export a CLGaussianBN as an R ``bn.fit.cgnet``-shaped RDS payload
+    (inverse of the ``_clg_bnfit`` reader; discrete nodes as dnode CPTs,
+    continuous nodes as cgnode per-config coefficient matrices in R
+    ``expand.grid`` column order)."""
+    children: Dict[str, List[str]] = {n: [] for n in clg.nodes}
+    for c in clg.nodes:
+        for p in clg.parents[c]:
+            children[p].append(c)
+    states = {
+        n: [f"s{k}" for k in range(clg.cards[n])]
+        for n in clg.nodes
+        if clg.types[n] == "discrete"
+    }
+    fit: Dict[str, Any] = {}
+    for node in clg.nodes:
+        parents = clg.parents[node]
+        if clg.types[node] == "discrete":
+            table = np.moveaxis(
+                np.asarray(clg.cpts[node], np.float64), -1, 0
+            )
+            fit[node] = {
+                "node": node,
+                "parents": list(parents),
+                "children": children[node],
+                "prob": RObj(
+                    REALSXP,
+                    table,
+                    attributes={
+                        "dim": RObj(
+                            INTSXP, np.asarray(table.shape, np.int64)
+                        ),
+                        "dimnames": RObj(
+                            VECSXP,
+                            [states[node]]
+                            + [states[p] for p in parents],
+                        ),
+                    },
+                ),
+            }
+            continue
+        disc_par = clg.disc_parents(node)
+        cont_par = clg.cont_parents(node)
+        n_reg = len(clg.bias[node])
+        nrow = 1 + len(cont_par)
+        mat = np.zeros((nrow, n_reg), np.float64)
+        sd = np.zeros((n_reg,), np.float64)
+        for col in range(n_reg):
+            # expand.grid order: first discrete parent varies fastest
+            rem, assign = col, {}
+            for p_ in disc_par:
+                assign[p_] = rem % clg.cards[p_]
+                rem //= clg.cards[p_]
+            r = clg.regime_index(node, assign)
+            mat[0, col] = clg.bias[node][r]
+            for k in range(len(cont_par)):
+                mat[1 + k, col] = clg.weights[node][r][k]
+            sd[col] = clg.sigma[node][r]
+        entry = {
+            "node": node,
+            "parents": list(parents),
+            "children": children[node],
+            "coefficients": RObj(
+                REALSXP,
+                mat.reshape(-1, order="F"),
+                attributes={
+                    "dim": RObj(
+                        INTSXP, np.asarray([nrow, n_reg], np.int64)
+                    ),
+                    "dimnames": RObj(
+                        VECSXP,
+                        [
+                            ["(Intercept)"] + cont_par,
+                            [str(c) for c in range(n_reg)],
+                        ],
+                    ),
+                },
+            ),
+            "sd": sd,
+            "dparents": np.asarray(
+                [parents.index(p_) + 1 for p_ in disc_par], np.int64
+            ),
+            "gparents": np.asarray(
+                [parents.index(p_) + 1 for p_ in cont_par], np.int64
+            ),
+            "dlevels": RObj(VECSXP, [states[p_] for p_ in disc_par]),
+        }
+        if not disc_par:
+            # plain gnode form for purely-continuous parents
+            entry["coefficients"] = RObj(
+                REALSXP,
+                np.concatenate(
+                    [
+                        [clg.bias[node][0]],
+                        np.asarray(clg.weights[node][0], np.float64),
+                    ]
+                ),
+                attributes={
+                    "names": RObj(
+                        STRSXP, ["(Intercept)"] + cont_par
+                    )
+                },
+            )
+            entry["sd"] = np.asarray([clg.sigma[node][0]], np.float64)
+            del entry["dparents"], entry["gparents"], entry["dlevels"]
+        fit[node] = entry
+    w = _Writer()
+    w.header()
+    w.item(fit, attributes={"class": ["bn.fit", "bn.fit.cgnet"]})
     return gzip.compress(w.out.getvalue())

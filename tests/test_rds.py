@@ -164,3 +164,107 @@ def test_rds_dir_source(tmp_path):
     np.testing.assert_allclose(
         nets[0].cpts["dysp"], bn.cpts["dysp"], atol=1e-12
     )
+
+
+def test_bnfit_clgaussian_roundtrip():
+    """clgaussian bn.fit (cgnet: dnode CPTs + cgnode per-config
+    coefficient matrices) -> CLGaussianBN, via the exporter inverse."""
+    from benchmarking.clg_bn import random_clgaussian
+    from benchmarking.rds import clg_bnfit_bytes, read_bnfit
+
+    clg = random_clgaussian(10, seed=3)
+    clg2 = read_bnfit(clg_bnfit_bytes(clg), name=clg.name)
+    assert clg2.kind == "clgaussian"
+    assert set(clg2.nodes) == set(clg.nodes)
+    for node in clg.nodes:
+        assert clg2.parents[node] == clg.parents[node]
+        assert clg2.types[node] == clg.types[node]
+        if clg.types[node] == "discrete":
+            np.testing.assert_allclose(
+                clg2.cpts[node], clg.cpts[node], atol=1e-12
+            )
+        else:
+            np.testing.assert_allclose(
+                clg2.bias[node], clg.bias[node], atol=1e-12
+            )
+            np.testing.assert_allclose(
+                clg2.weights[node], clg.weights[node], atol=1e-12
+            )
+            np.testing.assert_allclose(
+                clg2.sigma[node], clg.sigma[node], atol=1e-12
+            )
+    # semantics: exact posteriors agree for a discrete and a continuous
+    # target with mixed evidence
+    disc = [n for n in clg.nodes if clg.types[n] == "discrete"]
+    cont = [n for n in clg.nodes if clg.types[n] == "continuous"]
+    ev = {disc[0]: 0, cont[0]: 0.3}
+    for tgt in (disc[-1], cont[-1]):
+        if tgt in ev:
+            continue
+        a = clg.posterior(tgt, ev)
+        b = clg2.posterior(tgt, ev)
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], atol=1e-10)
+
+
+def test_bnfit_cgnode_expand_grid_order():
+    """The R expand.grid config order (FIRST discrete parent varies
+    fastest) maps onto regime_index (first parent most significant)."""
+    from benchmarking.clg_bn import CLGaussianBN
+    from benchmarking.rds import clg_bnfit_bytes, read_bnfit
+
+    clg = CLGaussianBN(name="t")
+    clg.nodes = ["a", "b", "y"]
+    clg.types = {"a": "discrete", "b": "discrete", "y": "continuous"}
+    clg.parents = {"a": [], "b": [], "y": ["a", "b"]}
+    clg.cards = {"a": 2, "b": 3}
+    clg.cpts = {
+        "a": [0.4, 0.6],
+        "b": [0.2, 0.3, 0.5],
+    }
+    # bias encodes the regime id so any shuffle is detectable
+    clg.bias = {"y": [float(10 * r) for r in range(6)]}
+    clg.weights = {"y": [[] for _ in range(6)]}
+    clg.sigma = {"y": [1.0 + 0.1 * r for r in range(6)]}
+    clg2 = read_bnfit(clg_bnfit_bytes(clg), name="t")
+    assert clg2.bias["y"] == clg.bias["y"]
+    assert clg2.sigma["y"] == clg.sigma["y"]
+
+
+def test_rds_dir_clgaussian_pipeline(tmp_path):
+    """End-to-end clgaussian RDS ingestion: a cgnet .rds dropped in a
+    directory flows through the FULL pipeline (networks -> clg query
+    gen + exact ground truth -> data gen -> run -> report) — the last
+    bn.fit format class (round-4 roadmap #4)."""
+    import json
+
+    from benchmarking.bundles import BenchmarkBundleSpec
+    from benchmarking.clg_bn import random_clgaussian
+    from benchmarking.pipeline import run_pipeline
+    from benchmarking.rds import clg_bnfit_bytes
+
+    clg = random_clgaussian(6, seed=2)
+    (tmp_path / "toy_clg.rds").write_bytes(clg_bnfit_bytes(clg))
+    spec = BenchmarkBundleSpec(
+        mode="inference",
+        source="rds_dir",
+        source_kwargs={"path": str(tmp_path)},
+        n_queries=6,
+        n_rows=512,
+        seed=0,
+    )
+    bundle = run_pipeline(
+        str(tmp_path / "out"), ["vbn_clg_gnn_lw_dyn"], spec
+    )
+    res_dir = bundle.dir("results", "toy_clg")
+    import os
+
+    files = [f for f in os.listdir(res_dir) if f.endswith(".jsonl")]
+    assert files, "no result records written"
+    ok = 0
+    with open(os.path.join(res_dir, files[0])) as f:
+        for line in f:
+            rec = json.loads(line)
+            assert rec["result"]["ok"], rec
+            ok += 1
+    assert ok >= 6
