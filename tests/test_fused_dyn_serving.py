@@ -194,3 +194,43 @@ def test_fused_dyn_lg_posterior(monkeypatch):
         {"target": "x0", "evidence": {"x2": [[-0.5]]}}
     )
     assert np.isfinite(np.asarray(pdf)).all()
+
+
+def test_static_plan_scan_fallback_beyond_unrolled_budget(monkeypatch):
+    """STATIC plans past the unrolled kernel's node budget ride the scan
+    kernel with plan masks as runtime arrays (same outputs)."""
+    monkeypatch.setenv("VBN_FUSED_SWEEP", "always")
+    import vectorizedbayesiannetwork_tpu.ops.sweep_pallas as sp
+
+    monkeypatch.setattr(sp, "_MAX_NODES", 4)  # force the unrolled gate off
+    bn = asia()
+    data = {
+        k: v.astype(np.float32).reshape(-1, 1)
+        for k, v in ancestral_sample(bn, 20000, 0).items()
+    }
+    m = VBNTpuBenchmarkModel(
+        domain_schema(bn),
+        seed=0,
+        config={
+            "inference": {"name": "likelihood_weighting", "n_samples": S}
+        },
+    )
+    m.fit(data)
+    pdf, samples = m.vbn.infer_posterior(
+        {
+            "target": "dysp",
+            "evidence": {"smoke": [[1.0]], "asia": [[0.0]]},
+        }
+    )
+    pmf = _pmf_from(pdf, samples, 2)
+    gt = exact_posterior(bn, "dysp", {"smoke": 1, "asia": 0})
+    np.testing.assert_allclose(pmf, gt, atol=0.06)
+    # the in-kernel pmf serving API also rides the scan fallback
+    out = m.vbn.infer_posterior_pmf(
+        [{"target": "dysp", "evidence": {"smoke": [[1.0]], "asia": [[0.0]]}}],
+        n_classes=2,
+    )
+    assert out is not None
+    pmf2, _ = out
+    pmf2 = pmf2 / pmf2.sum(axis=1, keepdims=True)
+    np.testing.assert_allclose(pmf2[0], gt, atol=0.06)

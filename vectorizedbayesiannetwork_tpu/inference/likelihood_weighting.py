@@ -91,10 +91,40 @@ class LikelihoodWeighting(DynamicMaskMethod):
     def _fused_raw_fn(plan, cpds, s, vbn, want=("logw",), batch=None):
         from ..ops.sweep_pallas import make_fused_sweep_fn
 
-        return make_fused_sweep_fn(
-            plan, cpds, s, want=want,
-            mesh=getattr(vbn, "_mesh", None), batch=batch,
+        mesh = getattr(vbn, "_mesh", None)
+        raw = make_fused_sweep_fn(
+            plan, cpds, s, want=want, mesh=mesh, batch=batch,
         )
+        if raw is not None:
+            return raw
+        # Beyond the unrolled kernel's node budget (compile time grows
+        # O(N) in its per-node program text), static plans ride the
+        # scan-form kernel with the plan's masks as runtime arrays —
+        # same outputs, O(1) compile (ops/sweep_scan_pallas.py).
+        from ..ops.sweep_scan_pallas import make_scan_sweep_fn
+
+        scan_raw = make_scan_sweep_fn(plan, cpds, s, want=want, mesh=mesh)
+        if scan_raw is None:
+            return None
+        if batch is not None and not scan_raw.fits(batch):
+            return None
+        import numpy as _np
+
+        import jax.numpy as jnp
+
+        ev = _np.asarray(plan.evidence_mask, _np.float32)
+        do = _np.asarray(plan.do_mask, _np.float32)
+        ti = int(plan.target_idx)
+        n = plan.n_nodes
+
+        def raw_static(params_tuple, key, fixed_vals):
+            b = fixed_vals.shape[0]
+            evb = jnp.tile(jnp.asarray(ev)[None], (b, 1))
+            dob = jnp.tile(jnp.asarray(do)[None], (b, 1))
+            tib = jnp.full((b,), ti, jnp.int32)
+            return scan_raw(params_tuple, key, fixed_vals, evb, dob, tib)
+
+        return raw_static
 
     def _dynamic_fn(self, plan, cpds, s, opts, vbn=None):
         """The one mask-dynamic program body (single + row-fused paths).
