@@ -356,10 +356,20 @@ def _scan_kernel(
         out_refs[oi][0, 0] = _reduction_tile(red_kind, src, val_t, cmax, tm)
 
 
+import os as _os
+
+
 def _pick_tm(b: int, s: int, n: int) -> int:
+    # The scan kernel's cost has a large per-(node x instance) SCALAR
+    # component (metadata loads, loop control, the per-row CDF walk's
+    # scalar cums), so bigger particle tiles amortize it — grow TM as
+    # far as the VMEM value scratch and the particle count allow.
+    cap = int(_os.environ.get("VBN_SCAN_TM_CAP", "0")) or 1024
     tm = 8
-    while tm < 1024 and (s // (_LANE * tm)) * b > 4096 and (
-        n * tm * _LANE * 4 <= (6 << 20)
+    while (
+        tm < cap
+        and s % (tm * 2 * _LANE) == 0
+        and n * tm * 2 * _LANE * 4 <= (10 << 20)
     ):
         tm *= 2
     while s % (tm * _LANE) != 0:
