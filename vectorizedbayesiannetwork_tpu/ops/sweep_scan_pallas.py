@@ -161,9 +161,14 @@ def _scan_structure(plan, cpds):
 
 
 def _flat_counts(cpds, params_tuple):
-    """All nodes' count tables, row-major, concatenated flat [E]."""
+    """All nodes' count tables, row-major, concatenated flat [E + 8].
+
+    The trailing zero pad keeps the kernel's statically-unrolled class
+    loops (masked reads up to ``cmax`` per row) inside the buffer on the
+    last row of the last node."""
     return jnp.concatenate(
         [p["counts"][0].reshape(-1) for p in params_tuple]
+        + [jnp.zeros((8,), jnp.float32)]
     ).astype(jnp.float32)
 
 
@@ -232,17 +237,29 @@ def _scan_kernel(
         else:
             u = _uniform_from_bits((tm, _LANE))
 
+        # class loops unroll statically up to cmax (masked scalar
+        # reads ride the table's zero pad) when the net's class counts
+        # are small — killing the inner fori overhead, which dominates
+        # at 2-4 classes; larger supports keep the dynamic loops
+        unroll = cmax <= 8
+
+        def _row_total(base):
+            if unroll:
+                t = 0.0
+                for j in range(cmax):
+                    t = t + jnp.where(j < card, tbl_ref[base + j], 0.0)
+                return t
+            return jax.lax.fori_loop(
+                0, card, lambda j, t: t + tbl_ref[base + j], 0.0
+            )
+
         def fixed_branch():
             # per-row SCALAR total + count at the clamped class; one
             # masked vector select per row
             def row_body(r, lp_acc):
                 m = pidx == r
                 base = eoff + r * card
-
-                def cls_total(j, t):
-                    return t + tbl_ref[base + j]
-
-                total_s = jax.lax.fori_loop(0, card, cls_total, 0.0)
+                total_s = _row_total(base)
                 cnt_s = tbl_ref[base + fixed_v]
                 ratio = cnt_s / jnp.maximum(total_s, 1e-12)
                 lp_r = jnp.log(
@@ -263,23 +280,32 @@ def _scan_kernel(
             def row_body(r, val):
                 m = pidx == r
                 base = eoff + r * card
-
-                def cls_total(j, t):
-                    return t + tbl_ref[base + j]
-
-                total_s = jax.lax.fori_loop(0, card, cls_total, 0.0)
+                total_s = _row_total(base)
                 thresh = u * total_s
 
-                def cls_walk(j, c):
-                    val_r, cum_s = c
-                    cum_s = cum_s + tbl_ref[base + j]
-                    val_r = val_r + (cum_s <= thresh).astype(jnp.int32)
-                    return val_r, cum_s
+                if unroll:
+                    val_r = jnp.zeros((tm, _LANE), jnp.int32)
+                    cum_s = 0.0
+                    for j in range(cmax - 1):
+                        cum_s = cum_s + jnp.where(
+                            j < card, tbl_ref[base + j], 0.0
+                        )
+                        val_r = val_r + jnp.where(
+                            j < card - 1,
+                            (cum_s <= thresh).astype(jnp.int32),
+                            0,
+                        )
+                else:
+                    def cls_walk(j, c):
+                        v, cum = c
+                        cum = cum + tbl_ref[base + j]
+                        v = v + (cum <= thresh).astype(jnp.int32)
+                        return v, cum
 
-                val_r, _ = jax.lax.fori_loop(
-                    0, card - 1, cls_walk,
-                    (jnp.zeros((tm, _LANE), jnp.int32), 0.0),
-                )
+                    val_r, _ = jax.lax.fori_loop(
+                        0, card - 1, cls_walk,
+                        (jnp.zeros((tm, _LANE), jnp.int32), 0.0),
+                    )
                 return jnp.where(m, val_r, val)
 
             val = jax.lax.fori_loop(
@@ -300,11 +326,7 @@ def _scan_kernel(
                 def row_body(r, lp_acc):
                     m = pidx == r
                     base = eoff + r * card
-
-                    def cls_total(j, t):
-                        return t + tbl_ref[base + j]
-
-                    total_s = jax.lax.fori_loop(0, card, cls_total, 0.0)
+                    total_s = _row_total(base)
 
                     def cls_sel(j, acc):
                         ratio = tbl_ref[base + j] / jnp.maximum(
