@@ -494,3 +494,64 @@ def test_scan_chunked_batches(fitted, monkeypatch):
     # boundaries must all be near-exact yet not bit-identical clones
     np.testing.assert_allclose(pmf, np.tile(gt, (b, 1)), atol=0.05)
     assert not np.allclose(pmf[0], pmf[-1], atol=1e-12)
+
+
+def test_scan_large_cardinality_fori_path():
+    """cmax > 8 disables the static class unroll — the dynamic fori
+    walk must produce the same draws as the numpy reference."""
+    bn = random_bn(n_nodes=10, max_card=12, seed=13)
+    assert max(len(s) for s in bn.states.values()) > 8
+    vbn = _fit_vbn(bn, seed=2)
+    topo = tuple(vbn.dag.topological_order())
+    plan = get_plan(vbn, Query(target=topo[-1], evidence={}, do={}))
+    cpds = tuple(vbn.cpd_spec(n) for n in plan.topo_order)
+    params = tuple(vbn.params[n] for n in plan.topo_order)
+    struct = scan_struct_for(plan, cpds)
+    assert struct[7] > 8  # cmax: the fori path is actually exercised
+    flat = _flat_counts(cpds, params)
+    n = plan.n_nodes
+    rng = np.random.default_rng(17)
+    u = rng.uniform(1e-6, 1 - 1e-6, size=(2, n, S)).astype(np.float32)
+    ev = np.zeros((2, n), np.float32)
+    do = np.zeros((2, n), np.float32)
+    fixed_idx = np.zeros((2, n), np.int32)
+    cards = [c.resolved_classes for c in cpds]
+    ev[:, 0] = 1.0
+    fixed_idx[:, 0] = cards[0] - 1
+    tgt = np.full((2,), plan.target_idx, np.int32)
+    logw, tgtv, lpt, _ = categorical_sweep_scan(
+        jax.random.PRNGKey(0), jnp.asarray(_packed(fixed_idx, ev, do)),
+        jnp.asarray(tgt), flat, struct, S, interpret=True,
+        u_ext=jnp.asarray(u), want=("logw", "tgt", "lpt"),
+    )
+    (eoff, rows_a, cards_a, pids, strides, total_e, pmax, cmax) = struct
+    row_offs = []
+    at = 0
+    for i in range(n):
+        row_offs.append(at)
+        at += rows_a[i]
+    counts_np = np.zeros((at, max(cards_a)), np.float64)
+    flat_np = np.asarray(flat, np.float64)
+    for i in range(n):
+        blk = flat_np[eoff[i] : eoff[i] + rows_a[i] * cards_a[i]]
+        counts_np[
+            row_offs[i] : row_offs[i] + rows_a[i], : cards_a[i]
+        ] = blk.reshape(rows_a[i], cards_a[i])
+    ps = (
+        n,
+        tuple(tuple(p for p in pids[i][: len(plan.parent_idx[i])])
+              for i in range(n)),
+        tuple(bool(ev[0, i]) for i in range(n)),
+        tuple(bool(do[0, i]) for i in range(n)),
+        int(tgt[0]),
+        tuple(row_offs),
+        tuple(rows_a),
+        tuple(cards_a),
+        tuple(strides),
+    )
+    ref_logw, ref_tgt, ref_lpt = _numpy_reference(
+        ps, counts_np, fixed_idx[:1], u[:1].astype(np.float64)
+    )
+    np.testing.assert_array_equal(np.asarray(tgtv)[0], ref_tgt[0])
+    np.testing.assert_allclose(np.asarray(logw)[0], ref_logw[0], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lpt)[0], ref_lpt[0], atol=1e-4)
