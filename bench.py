@@ -95,12 +95,7 @@ def bench_tpu() -> float:
         "x1": np.linspace(1, -1, B).reshape(B, 1).astype(np.float32),
     }
     queries = [{"target": "x2", "evidence": ev}] * REPS
-    out = vbn.infer_posterior_moments(queries)
-    if out is None:  # reduction path unavailable: stream fallback
-        query = queries[0]
-        _sync(vbn.infer_posterior(query))
-        _sync(vbn.infer_posterior(query))
-        return _best_window(lambda: vbn.infer_posterior(query), B)
+    vbn.infer_posterior_moments(queries)  # compile + first-dispatch warm
     vbn.infer_posterior_moments(queries)  # steady-state warm
     best = float("inf")
     for _ in range(3):
@@ -198,13 +193,7 @@ def bench_tpu_asia() -> float:
     # (The torch reference's timing below excludes its own host-side
     # pmf epilogue — in its favor.)
     queries = [{"target": "dysp", "evidence": ev}] * REPS
-    out = vbn.infer_posterior_pmf(queries, n_classes=2)
-    if out is None:  # reduction path unavailable: stream fallback
-        query = queries[0]
-        _sync(vbn.infer_posterior(query))
-        _sync(vbn.infer_posterior(query))
-        _sync(vbn.infer_posterior(query))
-        return _best_window(lambda: vbn.infer_posterior(query), B_ASIA)
+    vbn.infer_posterior_pmf(queries, n_classes=2)  # compile + first warm
     vbn.infer_posterior_pmf(queries, n_classes=2)  # steady-state warm
     best = float("inf")
     for _ in range(3):

@@ -145,7 +145,77 @@ def test_pmf_path_matches_host_epilogue(method):
         )
 
 
-def test_pmf_path_none_without_dynamic_masks():
+def test_pmf_degrades_internally_without_dynamic_masks():
+    """No fused path -> infer_posterior_pmf degrades INTERNALLY (never
+    None): rows equal the host-side weighted histogram over
+    infer_posterior_many on an identically-seeded model (same KeyStream
+    order -> bit-identical draws)."""
+    k = 4
     v = _fresh_discrete_vbn()
     v.set_inference_method("likelihood_weighting", n_samples=S)
-    assert v.infer_posterior_pmf(DISCRETE_QUERIES, n_classes=4) is None
+    out = v.infer_posterior_pmf(DISCRETE_QUERIES, n_classes=k)
+    assert out is not None
+    rows, spans = out
+    assert rows.shape == (4, k)
+
+    v2 = _fresh_discrete_vbn()
+    v2.set_inference_method("likelihood_weighting", n_samples=S)
+    many = v2.infer_posterior_many(DISCRETE_QUERIES)
+    for (lo, hi, _t), (pdf, samples) in zip(spans, many):
+        w = np.maximum(np.nan_to_num(np.asarray(pdf, np.float64)), 0.0)
+        cls = np.clip(
+            np.rint(np.asarray(samples)[..., 0]).astype(int), 0, k - 1
+        )
+        expect = np.zeros((hi - lo, k))
+        for i in range(hi - lo):
+            expect[i] = np.bincount(cls[i], weights=w[i], minlength=k)
+        np.testing.assert_allclose(rows[lo:hi], expect, rtol=1e-6, atol=1e-9)
+
+
+def test_pmf_fallback_statistically_matches_fused():
+    """The internal stream fallback and the dynamic-mask fused reduction
+    estimate the SAME posterior: normalized pmf rows agree within Monte
+    Carlo error at equal particle counts (different RNG streams)."""
+    k, s = 4, 8192
+    v = _fresh_discrete_vbn()
+    v.set_inference_method("likelihood_weighting", n_samples=s)
+    rows_fb, spans_fb = v.infer_posterior_pmf(DISCRETE_QUERIES, n_classes=k)
+
+    v2 = _fresh_discrete_vbn()
+    v2.set_inference_method(
+        "likelihood_weighting", n_samples=s, dynamic_masks=True
+    )
+    rows_fu, spans_fu = v2.infer_posterior_pmf(DISCRETE_QUERIES, n_classes=k)
+    assert [tuple(sp) for sp in spans_fb] == [tuple(sp) for sp in spans_fu]
+
+    def norm(r):
+        return r / np.maximum(r.sum(axis=1, keepdims=True), 1e-30)
+
+    np.testing.assert_allclose(norm(rows_fb), norm(rows_fu), atol=0.06)
+
+
+def test_moments_degrade_internally():
+    """Methods without a fused moments path still serve (mean, std) rows
+    via the internal stream reduction, matching _posterior_stats."""
+    v = _fresh_vbn()
+    v.set_inference_method("likelihood_weighting", n_samples=S)
+    out = v.infer_posterior_moments(QUERIES[:2])
+    assert out is not None
+    mom, spans = out
+    assert mom.shape == (B + 1, 2)
+
+    v2 = _fresh_vbn()
+    v2.set_inference_method("likelihood_weighting", n_samples=S)
+    many = v2.infer_posterior_many(QUERIES[:2])
+    at = 0
+    for (lo, hi, _t), (pdf, samples) in zip(spans, many):
+        stats = v2._posterior_stats(pdf, samples)
+        np.testing.assert_allclose(
+            mom[lo:hi, 0], np.asarray(stats["mean"]).ravel(),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            mom[lo:hi, 1], np.asarray(stats["std"]).ravel(),
+            rtol=1e-5, atol=1e-6,
+        )
+        at = hi

@@ -233,8 +233,12 @@ class DynamicMaskMethod(CompiledMethod):
 
         Programs are keyed by (S, opts, padded batch bucket) only — the
         evidence/do masks, their values, and the target index cross as
-        arrays. Latent draws match the static program bit-for-bit at
-        equal (B, S) (same per-node key folds).
+        arrays. On the XLA fallback path latent draws match the static
+        program bit-for-bit at equal (B, S) (same per-node key folds);
+        when the fused scan kernel serves the dispatch instead, it draws
+        from its own (seed, tile)-folded Pallas PRNG stream and sanitizes
+        fixed values on entry, so draws are NOT bitwise-comparable to the
+        static program (only statistically).
         """
         plan = self._canonical_plan(vbn)
         cpds = self._cpds(vbn, plan)

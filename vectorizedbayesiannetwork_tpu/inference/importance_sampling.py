@@ -69,11 +69,32 @@ class ImportanceSampling(DynamicMaskMethod):
             node_of_col[off : off + plan.node_dims[idx]] = idx
 
         raw = self._fused_dyn_raw(plan, cpds, s, vbn, ("logw", "tgt"))
+        # The fused scan kernel sanitizes fixed values on entry
+        # (clip(rint(nan_to_num(v)), 0, card-1), sweep_scan_pallas.py raw);
+        # apply the IDENTICAL transform to the XLA first pass whenever the
+        # kernel could serve this network, so NaN / out-of-support evidence
+        # yields the same ESS-collapse decision and posterior on both
+        # paths (round-4 advisor finding). When raw is None the network
+        # has non-categorical families and neither path sanitizes.
+        cards_arr = None
+        if raw is not None:
+            from ..models.categorical_table import CategoricalTableCPD
+
+            if all(isinstance(c, CategoricalTableCPD) for c in cpds):
+                cards_arr = np.asarray(
+                    [int(c.resolved_classes) for c in cpds], np.float32
+                )
 
         def fn(params_tuple, key, packed_in):
             fixed_vals, evm, dom, ti = packed_in
             k_is, k_lw = jax.random.split(key)
             fused = raw is not None and raw.fits(fixed_vals.shape[0])
+            if not fused and cards_arr is not None:
+                fixed_vals = jnp.clip(
+                    jnp.rint(jnp.nan_to_num(fixed_vals)),
+                    0.0,
+                    jnp.asarray(cards_arr)[None, :] - 1.0,
+                )
             if fused:
                 log_w, tv1_f, _, _ = raw(
                     params_tuple, k_is, fixed_vals, evm, dom, ti

@@ -83,7 +83,9 @@ def scan_sweep_reason(plan, cpds, n_samples: int):
         name = plan.topo_order[i]
         if not isinstance(cpd, CategoricalTableCPD):
             return f"node {name!r} is {type(cpd).__name__}, not categorical_table"
-        if cpd.output_dim != 1 or cpd.n_classes <= 0:
+        if cpd.output_dim != 1:
+            return f"node {name!r} has output_dim {cpd.output_dim} != 1"
+        if cpd.n_classes <= 0:
             return f"node {name!r} lacks a declared class support"
         if cpd.input_dim > 0 and cpd.parent_n_classes is None:
             return f"node {name!r} lacks declared parent_n_classes"
@@ -96,7 +98,7 @@ def scan_sweep_reason(plan, cpds, n_samples: int):
     # flat table + per-node meta must fit the SMEM prefetch budget
     # alongside the [B, N] packed query rows (checked per batch at trace
     # time by scan_batch_fits).
-    meta_bytes = plan.n_nodes * 16 * 4
+    meta_bytes = _meta_bytes(plan)
     if total_entries * 4 + meta_bytes > _SMEM_BUDGET // 2:
         return (
             f"flat CPT table {total_entries} entries exceeds the SMEM "
@@ -109,12 +111,20 @@ def scan_sweep_supported(plan, cpds, n_samples: int) -> bool:
     return scan_sweep_reason(plan, cpds, n_samples) is None
 
 
+def _meta_bytes(plan) -> int:
+    """Exact per-node SMEM metadata footprint: eoff/rows/cards (3 words)
+    plus pids/strides (2*pmax words each node), 4 B words — matching the
+    prefetch operands `_scan_structure` actually builds (a fixed 16-word
+    estimate under-counted whenever max in-degree > 6)."""
+    pmax = max(max((len(p) for p in plan.parent_idx), default=0), 1)
+    return (3 + 2 * pmax) * plan.n_nodes * 4
+
+
 def _table_bytes(plan, cpds) -> int:
     entries = sum(
         int(c._parent_states) * int(c.resolved_classes) for c in cpds
     )
-    meta = plan.n_nodes * 16 * 4
-    return entries * 4 + meta
+    return entries * 4 + _meta_bytes(plan)
 
 
 def scan_batch_fits(plan, batch: int, cpds=None) -> bool:

@@ -399,27 +399,33 @@ class VBN:
         class histogram reduces ON DEVICE and only a ``[B, n_classes]``
         array crosses to host — the serving shape for discrete posterior
         queries (one dispatch + a kilobyte fetch per query batch). Returns
-        ``(pmf_rows, spans)`` with UNNORMALIZED rows, or None when the
-        active method has no fused pmf path (caller falls back to
-        ``infer_posterior_many``).
+        ``(pmf_rows, spans)`` with UNNORMALIZED rows. When the active
+        method has no fused pmf path the call degrades INTERNALLY to
+        ``infer_posterior_many`` plus the host-side weighted histogram
+        (identical semantics, same return contract) — callers never see
+        None and carry no fallback branches.
         """
         if self._inference is None:
             raise RuntimeError(
                 "Call set_inference_method(...) before infer_posterior_pmf()."
             )
         fused = getattr(self._inference, "infer_posterior_pmf", None)
-        if fused is None:
-            return None
         qs = [self._normalize_query(q) for q in queries]
-        return fused(self, qs, n_classes=n_classes, **kwargs)
+        out = None
+        if fused is not None:
+            out = fused(self, qs, n_classes=n_classes, **kwargs)
+        if out is None:
+            out = self._reduce_from_stream(qs, "pmf", int(n_classes), kwargs)
+        return out
 
     def infer_posterior_moments(self, queries, **kwargs):
         """Fused multi-query dispatch returning posterior (mean, std) rows.
 
         Continuous-target counterpart of ``infer_posterior_pmf``: moments
         reduce on device, only ``[B, 2]`` crosses to host. Returns
-        ``(moments, spans)`` or None when the active method has no fused
-        moments path.
+        ``(moments, spans)``; methods without a fused moments path degrade
+        internally to ``infer_posterior_many`` + the ``_posterior_stats``
+        host reduction (same contract, never None).
         """
         if self._inference is None:
             raise RuntimeError(
@@ -427,10 +433,80 @@ class VBN:
                 "infer_posterior_moments()."
             )
         fused = getattr(self._inference, "infer_posterior_moments", None)
-        if fused is None:
-            return None
         qs = [self._normalize_query(q) for q in queries]
-        return fused(self, qs, **kwargs)
+        out = None
+        if fused is not None:
+            out = fused(self, qs, **kwargs)
+        if out is None:
+            out = self._reduce_from_stream(qs, "mom", None, kwargs)
+        return out
+
+    def _reduce_from_stream(self, qs, kind: str, n_classes, kwargs):
+        """Host-side posterior reduction over the stream path.
+
+        Internal fallback for ``infer_posterior_pmf`` / ``_moments`` when
+        the active method has no fused on-device reduction: runs the
+        queries through ``infer_posterior_many``'s row-fused dispatch and
+        reduces the fetched particle clouds on host with EXACTLY the
+        fused paths' semantics (pmf: raw-weight class histogram on
+        rounded/clipped draws; moments: normalized weights with in-graph
+        uniform fallback, the ``_posterior_stats`` contract). Returns the
+        same ``(rows, spans)`` shape so callers cannot tell the paths
+        apart except by throughput.
+        """
+        many = getattr(self._inference, "infer_posterior_many", None)
+        call_kw = dict(kwargs)
+        if many is not None:
+            results = many(self, qs, **call_kw)
+        else:
+            results = None
+        if results is None:
+            call_kw.pop("pad_bucket", None)
+            results = [
+                self._inference.infer_posterior(self, q, **call_kw)
+                for q in qs
+            ]
+        node_to_idx = {
+            n: i for i, n in enumerate(self.dag.topological_order())
+        }
+        rows, spans, at = [], [], 0
+        for q, (pdf, samples) in zip(qs, results):
+            w = np.maximum(
+                np.nan_to_num(
+                    np.asarray(pdf, np.float64), posinf=0.0, neginf=0.0
+                ),
+                0.0,
+            )
+            x = np.asarray(samples, np.float64)[..., 0]
+            b = w.shape[0]
+            if kind == "pmf":
+                k = int(n_classes)
+                cls = np.clip(np.rint(x).astype(np.int64), 0, k - 1)
+                pmf = np.zeros((b, k))
+                np.add.at(
+                    pmf,
+                    (
+                        np.repeat(np.arange(b), w.shape[1]),
+                        cls.reshape(-1),
+                    ),
+                    w.reshape(-1),
+                )
+                rows.append(pmf)
+            else:
+                denom = w.sum(axis=1, keepdims=True)
+                wn = np.where(
+                    denom > 1e-12,
+                    w / np.maximum(denom, 1e-12),
+                    np.full_like(w, 1.0 / max(1, w.shape[1])),
+                )
+                mean = (wn * x).sum(axis=1)
+                var = (wn * (x - mean[:, None]) ** 2).sum(axis=1)
+                rows.append(
+                    np.stack([mean, np.sqrt(np.maximum(var, 0.0))], axis=1)
+                )
+            spans.append((at, at + b, node_to_idx[q.target]))
+            at += b
+        return np.concatenate(rows, axis=0), spans
 
     def _posterior_stats(
         self, pdf: jax.Array, samples: jax.Array, *, eps: float = 1e-12
