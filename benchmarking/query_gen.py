@@ -285,12 +285,24 @@ def generate_cpd_queries(
 def compute_ground_truth(
     bn: DiscreteBN, queries: List[InferenceQuery]
 ) -> List[Dict]:
-    """Exact posterior pmf per query (VE; impossible evidence -> error rec)."""
+    """Exact posterior pmf per query (VE; impossible evidence -> error rec).
+
+    One min-fill elimination order is computed per NETWORK and reused by
+    every query — the per-query greedy search is O(n^3) at link scale
+    (724/1041 nodes) while indexed elimination along a fixed order is
+    O(n * w), which is what makes exact ground truth feasible for the
+    bounded-treewidth link-class fixtures (round-4 VERDICT next #1).
+    """
+    from .exact import min_fill_order
+
+    order = min_fill_order(bn)
     out = []
     for q in queries:
         rec: Dict = {"query_id": q.query_id, "target": q.target}
         try:
-            probs = exact_posterior(bn, q.target, q.evidence or None)
+            probs = exact_posterior(
+                bn, q.target, q.evidence or None, elim_order=order
+            )
             rec["probs"] = [float(p) for p in probs]
             rec["states"] = bn.states[q.target]
             rec["ok"] = True

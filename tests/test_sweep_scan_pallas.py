@@ -555,3 +555,106 @@ def test_scan_large_cardinality_fori_path():
     np.testing.assert_array_equal(np.asarray(tgtv)[0], ref_tgt[0])
     np.testing.assert_allclose(np.asarray(logw)[0], ref_logw[0], atol=1e-4)
     np.testing.assert_allclose(np.asarray(lpt)[0], ref_lpt[0], atol=1e-4)
+
+
+def test_scan_high_cardinality_gate_and_draws():
+    """Cards ABOVE 64 (the reference's barley/pathfinder class: card 67,
+    63) ride the fused scan path — the class walk is a fori_loop, so the
+    budget is the 128 reduction lanes, not 64 (round-4 VERDICT next #3).
+    Draws at card 80 must match the numpy reference; card > 128 and
+    SMEM-oversized tables (the mildew regime) must gate OFF with precise
+    reasons."""
+    bn = random_bn(n_nodes=6, max_card=80, max_indegree=1, seed=0)
+    assert max(len(s) for s in bn.states.values()) > 64
+    vbn = _fit_vbn(bn, seed=3)
+    topo = tuple(vbn.dag.topological_order())
+    plan = get_plan(vbn, Query(target=topo[-1], evidence={}, do={}))
+    cpds = tuple(vbn.cpd_spec(n) for n in plan.topo_order)
+    params = tuple(vbn.params[n] for n in plan.topo_order)
+    assert scan_sweep_reason(plan, cpds, 2048) is None
+    struct = scan_struct_for(plan, cpds)
+    assert struct[7] > 64  # cmax: high-card walk actually exercised
+    flat = _flat_counts(cpds, params)
+    n = plan.n_nodes
+    rng = np.random.default_rng(29)
+    u = rng.uniform(1e-6, 1 - 1e-6, size=(2, n, S)).astype(np.float32)
+    ev = np.zeros((2, n), np.float32)
+    do = np.zeros((2, n), np.float32)
+    fixed_idx = np.zeros((2, n), np.int32)
+    cards = [c.resolved_classes for c in cpds]
+    ev[:, 0] = 1.0
+    fixed_idx[:, 0] = cards[0] - 1
+    tgt = np.full((2,), plan.target_idx, np.int32)
+    logw, tgtv, lpt, _ = categorical_sweep_scan(
+        jax.random.PRNGKey(0), jnp.asarray(_packed(fixed_idx, ev, do)),
+        jnp.asarray(tgt), flat, struct, S, interpret=True,
+        u_ext=jnp.asarray(u), want=("logw", "tgt", "lpt"),
+    )
+    (eoff, rows_a, cards_a, pids, strides, total_e, pmax, cmax) = struct
+    row_offs = []
+    at = 0
+    for i in range(n):
+        row_offs.append(at)
+        at += rows_a[i]
+    counts_np = np.zeros((at, max(cards_a)), np.float64)
+    flat_np = np.asarray(flat, np.float64)
+    for i in range(n):
+        blk = flat_np[eoff[i] : eoff[i] + rows_a[i] * cards_a[i]]
+        counts_np[
+            row_offs[i] : row_offs[i] + rows_a[i], : cards_a[i]
+        ] = blk.reshape(rows_a[i], cards_a[i])
+    ps = (
+        n,
+        tuple(tuple(p for p in pids[i][: len(plan.parent_idx[i])])
+              for i in range(n)),
+        tuple(bool(ev[0, i]) for i in range(n)),
+        tuple(bool(do[0, i]) for i in range(n)),
+        int(tgt[0]),
+        tuple(row_offs),
+        tuple(rows_a),
+        tuple(cards_a),
+        tuple(strides),
+    )
+    ref_logw, ref_tgt, ref_lpt = _numpy_reference(
+        ps, counts_np, fixed_idx[:1], u[:1].astype(np.float64)
+    )
+    np.testing.assert_array_equal(np.asarray(tgtv)[0], ref_tgt[0])
+    np.testing.assert_allclose(np.asarray(logw)[0], ref_logw[0], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lpt)[0], ref_lpt[0], atol=1e-4)
+
+    # In-kernel pmf histogram at card > 64: lanes 0..card-1 of the
+    # reduction row must equal the host-side weighted bincount.
+    _, _, _, red = categorical_sweep_scan(
+        jax.random.PRNGKey(0), jnp.asarray(_packed(fixed_idx, ev, do)),
+        jnp.asarray(tgt), flat, struct, S, interpret=True,
+        u_ext=jnp.asarray(u), want=("pmf_logw",),
+    )
+    sums, mshift = red
+    k_t = cards_a[int(tgt[0])]
+    w = np.exp(ref_logw[0] - np.asarray(mshift)[0])
+    expect = np.bincount(ref_tgt[0].astype(int), weights=w, minlength=k_t)
+    np.testing.assert_allclose(
+        np.asarray(sums)[0, :k_t], expect, rtol=1e-4, atol=1e-5
+    )
+
+    # card > 128 gates off with the class-budget reason
+    bn2 = random_bn(n_nodes=4, max_card=160, max_indegree=1, seed=1)
+    if max(len(s) for s in bn2.states.values()) > 128:
+        vbn2 = _fit_vbn(bn2, seed=4, rows=512)
+        topo2 = tuple(vbn2.dag.topological_order())
+        plan2 = get_plan(vbn2, Query(target=topo2[-1], evidence={}, do={}))
+        cpds2 = tuple(vbn2.cpd_spec(n) for n in plan2.topo_order)
+        reason = scan_sweep_reason(plan2, cpds2, 2048)
+        assert reason is not None and "classes > 128" in reason
+
+    # SMEM-oversized table (mildew: 540k entries) gates off with the
+    # budget reason even when every card fits the walk
+    from benchmarking.highcard import mildew
+
+    bnm = mildew()
+    vbnm = _fit_vbn(bnm, seed=5, rows=512)
+    topom = tuple(vbnm.dag.topological_order())
+    planm = get_plan(vbnm, Query(target=topom[-1], evidence={}, do={}))
+    cpdsm = tuple(vbnm.cpd_spec(n) for n in planm.topo_order)
+    reason = scan_sweep_reason(planm, cpdsm, 2048)
+    assert reason is not None and "SMEM" in reason

@@ -60,7 +60,14 @@ from .sweep_pallas import (
     sweep_pallas_available,
 )
 
-_MAX_C = 64  # class walk budget per row (reduction lanes cap at 128)
+# Class walk budget per row. The walk itself is a fori_loop (O(card)
+# scalar-core work, any card), so the binding limits are (a) the pmf
+# reduction histogram, one lane per class (128 lanes), and (b) compile
+# time of the _reduction_tile unroll. 128 admits the reference corpus's
+# high-cardinality class — barley (card 67), pathfinder (63), mildew
+# (100, table-size-gated to the XLA path instead: 540k CPT entries
+# cannot fit SMEM; see scan_sweep_reason's budget check).
+_MAX_C = 128
 _MAX_NODES = 1500  # VMEM value scratch: N * 8 * 128 * 4 B <= ~6 MB
 # v5e SMEM is 1.00 MB; all prefetch operands are 1D (2D SMEM arrays
 # pad the minor dim to 128 words), so usage is the exact byte sum —
