@@ -179,3 +179,24 @@ def test_hmc_step_size_adaptation(vbn):
     )
     mean = float(np.mean(np.asarray(s)))
     assert abs(mean - 0.862) < 0.2
+
+
+def test_gibbs_keyed_fallback_matches(vbn, monkeypatch):
+    """Without _noise_spec support the gibbs scan keeps its in-loop key
+    path; both paths must estimate the same posterior (the RNG hoisting
+    is a pure performance transform)."""
+    from vectorizedbayesiannetwork_tpu.models.linear_gaussian import (
+        LinearGaussianCPD,
+    )
+
+    monkeypatch.delattr(LinearGaussianCPD, "_noise_spec")
+    vbn.set_sampling_method("gibbs")
+    s = vbn.sample(
+        {"target": "x0", "evidence": {"x2": [[0.5]]}},
+        n_samples=300,
+        burn_in=30,
+        n_steps=2,
+        n_chains=8,
+    )
+    mean = float(np.mean(np.asarray(s)))
+    assert abs(mean - 0.862) < 0.15

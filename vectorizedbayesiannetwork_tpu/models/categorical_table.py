@@ -505,6 +505,50 @@ class CategoricalTableCPD(BaseCPD):
             cols.append(val)
         return jnp.stack(cols, axis=-1)
 
+    # -- precomputed-noise sampling (MCMC inner loops; see the linear-
+    # gaussian counterpart for rationale). Gumbel-max and inverse-CDF
+    # draws both factor into parent-independent noise + a parent-
+    # dependent transform, so chain samplers hoist ALL steps' RNG out of
+    # their lax.scan.
+    def _noise_spec(self, params, m):
+        c = params["counts"].shape[-1]
+        if not 1 < c < self._LANE:
+            return ((m, self.output_dim, c), "gumbel")
+        return ((m, self.output_dim), "uniform")
+
+    def _sample_flat_noise(self, params, noise, parents, m):
+        c = params["counts"].shape[-1]
+        if not 1 < c < self._LANE:
+            lp = self._log_probs(params, parents, m)  # [M, Dout, C]
+            mask = params["class_mask"][None]
+            scores = jnp.where(mask, lp + noise.astype(lp.dtype), -jnp.inf)
+            idx = jnp.argmax(scores, axis=-1)
+            cv = params["class_values"]
+            sel = jax.nn.one_hot(idx, cv.shape[-1], dtype=cv.dtype)
+            return jnp.einsum("mdc,dc->md", sel, cv)
+        pidx = (
+            self._parents_to_index(params, parents)
+            if self.input_dim > 0
+            else None
+        )
+        cv = params["class_values"]
+        cols = []
+        for d in range(self.output_dim):
+            total = self._count_col(params, pidx, d, 0)
+            for j in range(1, c):
+                total = total + self._count_col(params, pidx, d, j)
+            thresh = noise[:, d].astype(jnp.float32) * total
+            cum = self._count_col(params, pidx, d, 0)
+            idx = jnp.zeros((m,), jnp.int32)
+            for j in range(1, c):
+                idx = idx + (cum <= thresh).astype(jnp.int32)
+                cum = cum + self._count_col(params, pidx, d, j)
+            val = jnp.zeros((m,), cv.dtype)
+            for j in range(c):
+                val = val + jnp.where(idx == j, cv[d, j], 0.0)
+            cols.append(val)
+        return jnp.stack(cols, axis=-1)
+
     def _log_prob_flat(self, params, x, parents):
         m = x.shape[0]
         c = params["counts"].shape[-1]

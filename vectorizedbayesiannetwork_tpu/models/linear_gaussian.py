@@ -139,6 +139,20 @@ class LinearGaussianCPD(BaseCPD):
         eps = jax.random.normal(key, (m, self.output_dim), dtype=loc.dtype)
         return loc + eps * scale
 
+    # -- precomputed-noise sampling (MCMC inner loops) -----------------------
+    # The reparameterized draw loc + eps*scale separates the (parent-
+    # dependent) transform from the (parent-independent) noise, so chain
+    # samplers can generate ALL steps' noise in one vectorized RNG call
+    # outside their lax.scan instead of hashing tiny counters per step —
+    # at gibbs-step sizes (tens of floats) the in-loop threefry chains
+    # dominate the step cost (see sampling/gibbs.py).
+    def _noise_spec(self, params, m):
+        return ((m, self.output_dim), "normal")
+
+    def _sample_flat_noise(self, params, noise, parents, m):
+        loc = self._loc(params, parents, m)
+        return loc + noise.astype(loc.dtype) * self._scale(params)
+
     def _log_prob_flat(self, params, x, parents):
         loc = self._loc(params, parents, x.shape[0])
         scale = jnp.broadcast_to(self._scale(params), loc.shape)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.base import Query
 from ..core.plan import pack_fixed_values
@@ -75,11 +76,59 @@ class GibbsSampler(CompiledMethod):
                     for i in range(plan.n_nodes)
                 ]
 
-                def step(carry, step_key):
+                m = bb * chains * k_cand
+                # RNG HOISTING (round-4 VERDICT next #9): at gibbs sizes
+                # (tens of floats per op) the per-step fold/threefry
+                # chains inside the scan dominated wall-clock — ~10 hash
+                # chains per step vs ~30 arithmetic ops. Candidate noise
+                # and selection gumbels are parent-INDEPENDENT, so when
+                # every latent family supports reparameterized draws
+                # (_noise_spec/_sample_flat_noise), ALL steps' randomness
+                # is generated in a handful of big vectorized RNG calls
+                # here and the scan just consumes slices. Bounded to
+                # ~2^24 precomputed floats; larger configs (huge B*C*K)
+                # keep the in-loop key path.
+                noise_elems = 0
+                specs = {}
+                for idx in latent:
+                    if not hasattr(cpds[idx], "_noise_spec"):
+                        specs = None
+                        break
+                    shape, kind = cpds[idx]._noise_spec(
+                        params_tuple[idx], m
+                    )
+                    specs[idx] = (shape, kind)
+                    noise_elems += total_steps * int(np.prod(shape))
+                noise_elems += total_steps * len(latent) * bb * c * k_cand
+                hoist = specs is not None and noise_elems <= (1 << 24)
+                xs = None
+                if hoist:
+                    gens = {
+                        "normal": jax.random.normal,
+                        "gumbel": jax.random.gumbel,
+                        "uniform": jax.random.uniform,
+                    }
+                    cand_noise = {}
+                    for j, idx in enumerate(latent):
+                        shape, kind = specs[idx]
+                        cand_noise[j] = gens[kind](
+                            fold(fold(key, 2), idx),
+                            (total_steps,) + tuple(shape),
+                        )
+                    sel_g = jax.random.gumbel(
+                        fold(key, 3),
+                        (total_steps, len(latent), bb * c, k_cand),
+                    )
+                    xs = (cand_noise, sel_g)
+
+                def step(carry, x):
                     vals = list(carry)
+                    if hoist:
+                        cand_noise_t, sel_g_t = x
+                    else:
+                        step_key = x
                     for j, idx in enumerate(latent):
                         d = plan.node_dims[idx]
-                        nkey = fold(step_key, idx)
                         pidx = plan.parent_idx[idx]
                         if pidx:
                             parent = jnp.concatenate(
@@ -91,10 +140,15 @@ class GibbsSampler(CompiledMethod):
                             )
                         else:
                             pk = None
-                        m = bb * c * k_cand
-                        cand = cpds[idx]._sample_flat(
-                            params_tuple[idx], fold(nkey, 1), pk, m
-                        )  # [B*C*K, d]
+                        if hoist:
+                            cand = cpds[idx]._sample_flat_noise(
+                                params_tuple[idx], cand_noise_t[j], pk, m
+                            )  # [B*C*K, d]
+                        else:
+                            nkey = fold(step_key, idx)
+                            cand = cpds[idx]._sample_flat(
+                                params_tuple[idx], fold(nkey, 1), pk, m
+                            )  # [B*C*K, d]
                         score = cpds[idx]._log_prob_flat(
                             params_tuple[idx], cand, pk
                         )  # [B*C*K]
@@ -125,9 +179,12 @@ class GibbsSampler(CompiledMethod):
                             )
                         # softmax-multinomial over K via Gumbel-argmax
                         score_k = score.reshape(bb * c, k_cand)
-                        g = jax.random.gumbel(
-                            fold(nkey, 2), score_k.shape, score_k.dtype
-                        )
+                        if hoist:
+                            g = sel_g_t[j].astype(score_k.dtype)
+                        else:
+                            g = jax.random.gumbel(
+                                fold(nkey, 2), score_k.shape, score_k.dtype
+                            )
                         choice = jnp.argmax(score_k + g, axis=-1)  # [B*C]
                         sel = jax.nn.one_hot(choice, k_cand, dtype=cand.dtype)
                         chosen = jnp.einsum(
@@ -138,8 +195,9 @@ class GibbsSampler(CompiledMethod):
                         vals[idx] = chosen.reshape(bb, c, d)
                     return tuple(vals), vals[t]
 
-                step_keys = jax.random.split(fold(key, 1), total_steps)
-                _, targets = jax.lax.scan(step, tuple(vals), step_keys)
+                if not hoist:
+                    xs = jax.random.split(fold(key, 1), total_steps)
+                _, targets = jax.lax.scan(step, tuple(vals), xs)
                 # targets: [total_steps, B, C, Dt]
                 kept = targets[burn_in::thin]  # [draws, B, C, Dt]
                 kept = jnp.moveaxis(kept, 0, 1)  # [B, draws, C, Dt]
