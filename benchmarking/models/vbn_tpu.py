@@ -374,7 +374,13 @@ class VBNTpuBenchmarkModel(BaseBenchmarkModel):
             < 2x — and typically ~1.3x — the real work.
             """
             rows_tot = sum(j[2] for j in batch_jobs)
-            return min(bucket, 1 << max(5, (rows_tot - 1).bit_length()))
+            # Multiple-of-32 quantization: a 96-row flush runs a 96-row
+            # kernel (pow2 would pad to 128 — at 0.34 ms/row kernel time
+            # that 33% is the difference between meeting and missing the
+            # <= 2x-kernel serving budget at munin scale). Distinct
+            # compiled shapes stay bounded at bucket/32 per plan, each
+            # primed untimed.
+            return min(bucket, max(32, -(-rows_tot // 32) * 32))
 
         def flush(batch_jobs) -> None:
             qdicts = [j[0] for j in batch_jobs]

@@ -385,6 +385,24 @@ BUILTIN_NETWORKS: Dict[str, Callable[[], DiscreteBN]] = {
     "pathfinder": _highcard("pathfinder"),
 }
 
+# Remaining named discrete corpus members (seeded reconstructions with
+# exact-GT-tractable wiring; see corpus.py for per-network provenance).
+
+
+def _corpus(name):
+    def make():
+        from .corpus import CORPUS
+
+        return CORPUS[name]()
+
+    return make
+
+
+for _name in (
+    "sachs", "child", "water", "munin_sub1", "andes", "pigs", "diabetes"
+):
+    BUILTIN_NETWORKS[_name] = _corpus(_name)
+
 
 @register_source("builtin")
 def acquire_builtin(names: Optional[List[str]] = None, **_kw) -> List[DiscreteBN]:

@@ -122,6 +122,7 @@ def pack_fixed_values(
     batch_size: int,
     *,
     clamp_obs: bool = False,
+    out: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Pack evidence/do values into one [B, total_dim] array (zeros elsewhere).
 
@@ -135,7 +136,12 @@ def pack_fixed_values(
     query batch (BENCH_NOTES.md "host-sync elimination").
     """
     node_to_idx = plan.node_to_idx()
-    out = np.zeros((batch_size, plan.total_dim), dtype=np.float32)
+    if out is None:
+        out = np.zeros((batch_size, plan.total_dim), dtype=np.float32)
+    # else: caller provides a zeroed [batch_size, total_dim] view —
+    # row-fused packers preallocate ONE buffer for the whole dispatch
+    # (per-query [1, total_dim] allocations were ~15% of a 96-query
+    # link-scale flush).
     for mapping, do_clamp in ((query.do, False), (query.evidence, clamp_obs)):
         for node, value in mapping.items():
             idx = node_to_idx[node]

@@ -39,37 +39,41 @@ def pack_dynamic_inputs(
     bucket is warm).
     """
     node_to_idx = plan.node_to_idx()
-    rows, evs, dos, tgts, spans = [], [], [], [], []
-    at = 0
-    for q in queries:
-        b = infer_batch_size(q.evidence, q.do)
-        rows.append(pack_fixed_values(q, plan, b, clamp_obs=clamp_obs))
-        ev = np.zeros((b, plan.n_nodes), np.float32)
-        for n in q.evidence:
-            ev[:, node_to_idx[n]] = 1.0
-        do = np.zeros((b, plan.n_nodes), np.float32)
-        for n in q.do:
-            do[:, node_to_idx[n]] = 1.0
-        evs.append(ev)
-        dos.append(do)
-        tgts.append(np.full((b,), node_to_idx[q.target], np.int32))
-        spans.append((at, at + b, node_to_idx[q.target]))
-        at += b
-    b_tot = at
-    b_pad = max(1 << max(0, (b_tot - 1)).bit_length(), int(pad_to))
-    pad = b_pad - b_tot
-    if pad:
-        rows.append(np.zeros((pad, plan.total_dim), np.float32))
-        evs.append(np.zeros((pad, plan.n_nodes), np.float32))
-        dos.append(np.zeros((pad, plan.n_nodes), np.float32))
-        tgts.append(np.zeros((pad,), np.int32))
-    inputs = (
-        np.concatenate(rows, axis=0),
-        np.concatenate(evs, axis=0),
-        np.concatenate(dos, axis=0),
-        np.concatenate(tgts, axis=0),
+    bs = [infer_batch_size(q.evidence, q.do) for q in queries]
+    b_tot = sum(bs)
+    # pad_to >= the true row count is honored EXACTLY (callers pick the
+    # serving quantum — e.g. the benchmark runner's multiple-of-32
+    # flush pads, where pow2 rounding 96 -> 128 cost 33% kernel time at
+    # munin scale); smaller pad_to keeps the pow2 rule so ad-hoc call
+    # sites reuse a bounded set of compiled shapes.
+    pad_to = int(pad_to)
+    b_pad = (
+        pad_to
+        if pad_to >= b_tot
+        else max(1 << max(0, (b_tot - 1)).bit_length(), pad_to)
     )
-    return inputs, spans, b_tot, b_pad
+    # ONE preallocated buffer per operand, filled by row-band views —
+    # per-query allocations plus a final concatenate were ~15% of a
+    # 96-query link-scale flush (round-5 epilogue profile).
+    rows = np.zeros((b_pad, plan.total_dim), np.float32)
+    evs = np.zeros((b_pad, plan.n_nodes), np.float32)
+    dos = np.zeros((b_pad, plan.n_nodes), np.float32)
+    tgts = np.zeros((b_pad,), np.int32)
+    spans = []
+    at = 0
+    for q, b in zip(queries, bs):
+        pack_fixed_values(
+            q, plan, b, clamp_obs=clamp_obs, out=rows[at : at + b]
+        )
+        for n in q.evidence:
+            evs[at : at + b, node_to_idx[n]] = 1.0
+        for n in q.do:
+            dos[at : at + b, node_to_idx[n]] = 1.0
+        ti = node_to_idx[q.target]
+        tgts[at : at + b] = ti
+        spans.append((at, at + b, ti))
+        at += b
+    return (rows, evs, dos, tgts), spans, b_tot, b_pad
 
 
 class DynamicMaskMethod(CompiledMethod):

@@ -320,6 +320,23 @@ def _sublane_pick(g, sa):
     return jnp.where((sa & 1) > 0, t[1:2], t[0:1])
 
 
+def _srg_ablate() -> str:
+    """VBN_SRG_ABLATE: trace-time cost-decomposition switch (round-4
+    VERDICT next #7 — measure before rewriting). Modes remove stages of
+    the rank search so on-chip deltas attribute the kernel's time:
+
+      ""       full kernel (production; the only correct mode)
+      "ranks"  rank search complete, value gathers skipped
+      "sc"     supercolumn counts only (column/entry probes skipped)
+      "stream" no search at all — block streaming + output writes
+
+    Profiling only: outputs are WRONG in every non-empty mode, and the
+    flag is read at trace time (use a fresh process per mode — the jit
+    cache does not key on it). See benchmarking/srg_profile.py.
+    """
+    return os.environ.get("VBN_SRG_ABLATE", "")
+
+
 def _pair_pick(blk0, blk1, uqs, u_last, prev_last, acc, d):
     """Resolve one two-window pair against the tile's positions.
 
@@ -348,6 +365,7 @@ def _pair_pick(blk0, blk1, uqs, u_last, prev_last, acc, d):
     #    column 8t+s); zero-padded to a full vreg (Mosaic's dynamic_gather
     #    requires indices shaped like the source)
     nq = T // _LB
+    ablate = _srg_ablate()
     # STAGE-MAJOR evaluation: all quarters' supercolumn counts, then all
     # their column probes, then entry probes, then value picks — the
     # structural form of the round-3 "interleave quarters for ILP" idea.
@@ -355,41 +373,48 @@ def _pair_pick(blk0, blk1, uqs, u_last, prev_last, acc, d):
     # 8x1M d=1): Mosaic's scheduler already overlaps the independent
     # probe chains. Kept because it states the independence explicitly
     # and costs nothing.
-    scs = [
-        jnp.sum((scl <= uq).astype(jnp.int32), axis=0, keepdims=True)
-        for uq in uqs
-    ]  # [1, 128] full supercolumns each, in [0, 16]
+    if ablate == "stream":
+        scs = [jnp.zeros((1, _LB), jnp.int32) for _ in uqs]
+    else:
+        scs = [
+            jnp.sum((scl <= uq).astype(jnp.int32), axis=0, keepdims=True)
+            for uq in uqs
+        ]  # [1, 128] full supercolumns each, in [0, 16]
     sccs = [jnp.minimum(sc, 2 * _SC - 1) for sc in scs]
-    g1s = [
-        jnp.take_along_axis(
-            clt,
-            jnp.broadcast_to(scc, (8, _LB)),
-            axis=1,
-            mode="promise_in_bounds",
-        )
-        for scc in sccs
-    ]  # row s = column-last of column 8*scc + s
-    ccs = [
-        jnp.sum((g1 <= uq).astype(jnp.int32), axis=0, keepdims=True)
-        for g1, uq in zip(g1s, uqs)
-    ]  # boundary supercolumn is not full => cc <= 7 when in range
-    cols = [
-        jnp.minimum(scc * 8 + cc, _LB - 1)
-        for scc, cc in zip(sccs, ccs)
-    ]
-    g2s = [
-        jnp.take_along_axis(
-            colt,
-            jnp.broadcast_to(col, (8, _LB)),
-            axis=1,
-            mode="promise_in_bounds",
-        )
-        for col in cols
-    ]  # row s = pair entry 8*col + s
-    fs = [
-        jnp.sum((g2 <= uq).astype(jnp.int32), axis=0, keepdims=True)
-        for g2, uq in zip(g2s, uqs)
-    ]
+    if ablate in ("sc", "stream"):
+        ccs = [jnp.zeros((1, _LB), jnp.int32) for _ in uqs]
+        fs = list(ccs)
+    else:
+        g1s = [
+            jnp.take_along_axis(
+                clt,
+                jnp.broadcast_to(scc, (8, _LB)),
+                axis=1,
+                mode="promise_in_bounds",
+            )
+            for scc in sccs
+        ]  # row s = column-last of column 8*scc + s
+        ccs = [
+            jnp.sum((g1 <= uq).astype(jnp.int32), axis=0, keepdims=True)
+            for g1, uq in zip(g1s, uqs)
+        ]  # boundary supercolumn is not full => cc <= 7 when in range
+        cols = [
+            jnp.minimum(scc * 8 + cc, _LB - 1)
+            for scc, cc in zip(sccs, ccs)
+        ]
+        g2s = [
+            jnp.take_along_axis(
+                colt,
+                jnp.broadcast_to(col, (8, _LB)),
+                axis=1,
+                mode="promise_in_bounds",
+            )
+            for col in cols
+        ]  # row s = pair entry 8*col + s
+        fs = [
+            jnp.sum((g2 <= uq).astype(jnp.int32), axis=0, keepdims=True)
+            for g2, uq in zip(g2s, uqs)
+        ]
     vpairs = [_value_pair(blk0, blk1, fidx) for fidx in range(d)]
     segs = []
     for oq in range(nq):
@@ -403,18 +428,26 @@ def _pair_pick(blk0, blk1, uqs, u_last, prev_last, acc, d):
         a = jnp.minimum(rank, 2 * W - 1)  # local ancestor index
         ca = a >> 3
         sa = a & 7
-        rows_q = [
-            _sublane_pick(
-                jnp.take_along_axis(
-                    vpairs[fidx],
-                    jnp.broadcast_to(ca, (8, _LB)),
-                    axis=1,
-                    mode="promise_in_bounds",
-                ),
-                sa,
-            )
-            for fidx in range(d)
-        ]
+        if ablate:
+            # value gathers skipped: fold the rank (or the raw first
+            # value rows) into the output so nothing above is DCE'd
+            rows_q = [
+                rank.astype(jnp.float32) + vpairs[fidx][:1]
+                for fidx in range(d)
+            ]
+        else:
+            rows_q = [
+                _sublane_pick(
+                    jnp.take_along_axis(
+                        vpairs[fidx],
+                        jnp.broadcast_to(ca, (8, _LB)),
+                        axis=1,
+                        mode="promise_in_bounds",
+                    ),
+                    sa,
+                )
+                for fidx in range(d)
+            ]
         picked_q = jnp.concatenate(rows_q, axis=0)  # [d, 128]
         segs.append(
             jnp.where(
