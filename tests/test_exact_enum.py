@@ -178,9 +178,14 @@ def test_enum_refuses_oversized_or_continuous(vbn):
     )
     vc.fit(df)
     vc.set_inference_method("categorical_exact")
-    assert (
-        vc.infer_posterior_pmf(
-            [{"target": "y", "evidence": {"x": [[0.0]]}}], n_classes=2
-        )
-        is None
+    # continuous net: no fused pmf path exists, but the API contract is
+    # never-None (round-4 VERDICT next #8) — the call degrades
+    # internally to the stream fallback (exact ladder -> LW delegation)
+    # plus the host histogram over rounded draws.
+    out = vc.infer_posterior_pmf(
+        [{"target": "y", "evidence": {"x": [[0.0]]}}], n_classes=2
     )
+    assert out is not None
+    rows, spans = out
+    assert rows.shape == (1, 2) and np.all(np.isfinite(rows))
+    assert spans == [(0, 1, 1)]

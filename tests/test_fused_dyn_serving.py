@@ -234,3 +234,49 @@ def test_static_plan_scan_fallback_beyond_unrolled_budget(monkeypatch):
     pmf2, _ = out
     pmf2 = pmf2 / pmf2.sum(axis=1, keepdims=True)
     np.testing.assert_allclose(pmf2[0], gt, atol=0.06)
+
+
+def test_dyn_inkernel_pmf_reduction_matches_stream(monkeypatch):
+    """LW dynamic pmf serving rides the IN-KERNEL reduction (only [B, k]
+    summary rows reach HBM — no [B, S] streams); its normalized rows
+    must match the stream+einsum path's and exact enumeration."""
+    monkeypatch.setenv("VBN_FUSED_SWEEP", "always")
+    bn = asia()
+    m = _fit_model(bn, "likelihood_weighting")
+    lw = m.vbn._inference
+    plan = lw._canonical_plan(m.vbn)
+    cpds = lw._cpds(m.vbn, plan)
+    # the reduction raw must be available for this all-categorical net
+    assert lw._dyn_red_raw(plan, cpds, S, (True,), m.vbn, "pmf") is not None
+    queries = [
+        {"target": "dysp", "evidence": {"smoke": [[1.0]], "asia": [[0.0]]}},
+        {"target": "bronc", "evidence": {"dysp": [[1.0]]}},
+        {"target": "lung", "evidence": {}},
+    ]
+    rows, spans = m.vbn.infer_posterior_pmf(
+        queries, n_classes=2, pad_bucket=8
+    )
+    # reduced rows come back normalized
+    np.testing.assert_allclose(rows.sum(axis=1), 1.0, atol=1e-5)
+    for (lo, hi, _t), (target, ev) in zip(
+        spans,
+        [("dysp", {"smoke": 1, "asia": 0}), ("bronc", {"dysp": 1}),
+         ("lung", {})],
+    ):
+        gt = exact_posterior(bn, target, ev)
+        np.testing.assert_allclose(rows[lo], gt, atol=0.06)
+
+
+def test_dyn_inkernel_moments_reduction(monkeypatch):
+    """LW dynamic moments serving via the in-kernel (w, wx, wx^2) lanes:
+    mean/std match the stream-path host reduction statistically."""
+    monkeypatch.setenv("VBN_FUSED_SWEEP", "always")
+    bn = asia()
+    m = _fit_model(bn, "likelihood_weighting")
+    q = [{"target": "dysp", "evidence": {"smoke": [[1.0]]}}]
+    mom, spans = m.vbn.infer_posterior_moments(q, pad_bucket=8)
+    assert mom.shape == (1, 2)
+    # target is binary: mean == p(dysp=1 | smoke=1), std = sqrt(p(1-p))
+    gt = exact_posterior(bn, "dysp", {"smoke": 1})
+    assert abs(float(mom[0, 0]) - gt[1]) < 0.06
+    assert abs(float(mom[0, 1]) - np.sqrt(gt[1] * (1 - gt[1]))) < 0.06

@@ -101,9 +101,13 @@ def test_lg_exact_refuses_non_lg(net_and_vbn):
     )
     v.fit(df)
     v.set_inference_method("gaussian_exact")
-    assert (
-        v.infer_posterior_moments(
-            [{"target": "b", "evidence": {"a": [[1.0]]}}]
-        )
-        is None
+    # non-LG net: gaussian_exact has no fused moments path, but the API
+    # contract is never-None (round-4 VERDICT next #8) — the call
+    # degrades internally to the stream fallback + _posterior_stats
+    # host reduction.
+    out = v.infer_posterior_moments(
+        [{"target": "b", "evidence": {"a": [[1.0]]}}]
     )
+    assert out is not None
+    mom, spans = out
+    assert mom.shape == (1, 2) and np.all(np.isfinite(mom))

@@ -204,6 +204,17 @@ class DynamicMaskMethod(CompiledMethod):
     def _dynamic_fn(self, plan, cpds, s: int, opts: Tuple, vbn=None):
         raise NotImplementedError
 
+    def _dyn_red_raw(self, plan, cpds, s: int, opts, vbn, kind: str):
+        """Mask-dynamic raw whose OUTPUT is the in-kernel posterior
+        reduction (``want=(f"{kind}_{src}",)``), or None when the method
+        cannot express its weighting as a single kernel reduction
+        (e.g. IS's per-row ESS fallback needs both passes' streams).
+        When available, ``infer_posterior_pmf``/``_moments`` skip the
+        [B, S] weight/sample streams entirely — at link scale x 1M
+        particles that is ~800 MB of HBM round-trip per dispatch the
+        kernel never performs."""
+        return None
+
     def _fused_dyn_raw(self, plan, cpds, s: int, vbn, want):
         """Mask-dynamic scan-form Pallas sweep (ops/sweep_scan_pallas.py)
         for this plan, or None. One compiled kernel per network serves
@@ -331,6 +342,42 @@ class DynamicMaskMethod(CompiledMethod):
             plan, queries, clamp_obs=self.pack_clamp_obs, pad_to=pad_bucket
         )
 
+        red_raw = self._dyn_red_raw(plan, cpds, s, opts, vbn, "pmf")
+        if red_raw is not None and red_raw.fits(b_pad):
+            # In-kernel reduction: only [B, 128] summary rows reach HBM.
+            # Rows are normalized in-graph (the stream path's softmax
+            # weights make its rows sum to 1 as well, so the two paths
+            # agree on the caller-visible normalized pmf).
+            def build_red():
+                def fn(params_tuple, key, packed_in):
+                    fixed_vals, evm, dom, ti = packed_in
+                    _lw, _tg, _lp, red = red_raw(
+                        params_tuple, key, fixed_vals, evm, dom, ti
+                    )
+                    sums, _m = red
+                    pmf = sums[:, :k]
+                    return (
+                        pmf
+                        / jnp.maximum(
+                            jnp.sum(pmf, axis=1, keepdims=True), 1e-30
+                        ),
+                    )
+
+                return fn
+
+            prog_fn = self._compiled(
+                vbn,
+                plan,
+                (self.dynamic_tag, "pmfred", k, s) + opts + (b_pad,),
+                build_red,
+            )
+            (pmf,) = prog_fn(
+                self._params_tuple(vbn, plan), vbn.next_key_spec(), inputs
+            )
+            if hasattr(self, "_last_ess"):
+                self._last_ess = None  # not computed on the reduced path
+            return np.asarray(pmf)[:b_tot], spans
+
         def build():
             inner = self._dynamic_fn(plan, cpds, s, opts, vbn)
 
@@ -404,6 +451,37 @@ class DynamicMaskMethod(CompiledMethod):
         inputs, spans, b_tot, b_pad = pack_dynamic_inputs(
             plan, queries, clamp_obs=self.pack_clamp_obs, pad_to=pad_bucket
         )
+
+        red_raw = self._dyn_red_raw(plan, cpds, s, opts, vbn, "mom")
+        if red_raw is not None and red_raw.fits(b_pad):
+            # In-kernel moments: lanes (sum_w, sum_wx, sum_wx^2); the
+            # per-row max shift cancels in the ratios.
+            def build_red():
+                def fn(params_tuple, key, packed_in):
+                    fixed_vals, evm, dom, ti = packed_in
+                    _lw, _tg, _lp, red = red_raw(
+                        params_tuple, key, fixed_vals, evm, dom, ti
+                    )
+                    sums, _m = red
+                    s0 = jnp.maximum(sums[:, 0], 1e-30)
+                    mean = sums[:, 1] / s0
+                    var = jnp.maximum(sums[:, 2] / s0 - mean**2, 0.0)
+                    return (jnp.stack([mean, jnp.sqrt(var)], axis=1),)
+
+                return fn
+
+            prog_fn = self._compiled(
+                vbn,
+                plan,
+                (self.dynamic_tag, "momred", s) + opts + (b_pad,),
+                build_red,
+            )
+            (mom,) = prog_fn(
+                self._params_tuple(vbn, plan), vbn.next_key_spec(), inputs
+            )
+            if hasattr(self, "_last_ess"):
+                self._last_ess = None  # not computed on the reduced path
+            return np.asarray(mom)[:b_tot], spans
 
         def build():
             inner = self._dynamic_fn(plan, cpds, s, opts, vbn)

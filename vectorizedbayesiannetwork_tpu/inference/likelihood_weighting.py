@@ -126,6 +126,24 @@ class LikelihoodWeighting(DynamicMaskMethod):
 
         return raw_static
 
+    def _dyn_red_raw(self, plan, cpds, s, opts, vbn, kind):
+        """LW's weights are a pure function of the evidence log-weights,
+        so the scan kernel's in-kernel reductions (``pmf_logw`` /
+        ``mom_logw``) serve infer_posterior_pmf/_moments directly: the
+        normalized pmf from exp(logw - max) histogram lanes equals the
+        stream path's softmax-weighted histogram, and the moment lanes'
+        max shift cancels in the ratios. pmf requires the categorical
+        scan kernel (the LG variant reduces moments only)."""
+        if kind == "pmf":
+            from ..ops.sweep_scan_pallas import scan_sweep_reason
+            from ..parallel.mesh import PARTICLE_AXIS
+
+            mesh = getattr(vbn, "_mesh", None)
+            npart = int(mesh.shape[PARTICLE_AXIS]) if mesh is not None else 1
+            if scan_sweep_reason(plan, cpds, s // max(1, npart)) is not None:
+                return None
+        return self._fused_dyn_raw(plan, cpds, s, vbn, (f"{kind}_logw",))
+
     def _dynamic_fn(self, plan, cpds, s, opts, vbn=None):
         """The one mask-dynamic program body (single + row-fused paths).
         All-categorical plans ride the scan-form fused Pallas kernel
