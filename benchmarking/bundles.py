@@ -100,6 +100,8 @@ class BenchmarkBundle:
         for f in os.listdir(d):
             if f.endswith(".bif"):
                 names.append(f[: -len(".bif")])
+            elif f.endswith(".bif.gz"):  # committed bundles gzip big nets
+                names.append(f[: -len(".bif.gz")])
             elif f.endswith(".gbn.json"):
                 names.append(f[: -len(".gbn.json")])
             elif f.endswith(".clg.json"):

@@ -122,8 +122,18 @@ def write_clg_problem_assets(
 
 def load_dataset(path: str) -> Dict[str, np.ndarray]:
     import csv
+    import gzip
+    import io
 
-    with open(path, newline="", encoding="utf-8") as f:
+    if not os.path.exists(path) and os.path.exists(path + ".gz"):
+        path += ".gz"  # committed bundles gzip their largest datasets
+    if path.endswith(".gz"):
+        opener = lambda p: io.TextIOWrapper(
+            gzip.open(p, "rb"), encoding="utf-8", newline=""
+        )
+    else:
+        opener = lambda p: open(p, newline="", encoding="utf-8")
+    with opener(path) as f:
         reader = csv.reader(f)
         header = next(reader)
         rows = [[float(v) for v in row] for row in reader]

@@ -64,7 +64,12 @@ def _load_network(bundle: BenchmarkBundle, problem: str):
 
         with open(cpath, encoding="utf-8") as f:
             return CLGaussianBN.from_json(f.read())
-    return load_bif(os.path.join(bundle.dir("networks"), f"{problem}.bif"))
+    path = os.path.join(bundle.dir("networks"), f"{problem}.bif")
+    if not os.path.exists(path) and os.path.exists(path + ".gz"):
+        # committed bundles gzip their largest fixtures (mildew's 916k
+        # CPT entries are ~11 MB of BIF text)
+        path += ".gz"
+    return load_bif(path)
 
 
 def stage_queries(bundle: BenchmarkBundle) -> None:

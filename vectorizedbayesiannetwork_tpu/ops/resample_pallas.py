@@ -60,6 +60,7 @@ semantics: ``/root/reference/vbn/inference/resampled_importance_sampling.py:33-4
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
