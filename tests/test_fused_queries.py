@@ -219,3 +219,38 @@ def test_moments_degrade_internally():
             rtol=1e-5, atol=1e-6,
         )
         at = hi
+
+
+def test_stream_fallback_avoids_giant_fused_traces():
+    """The internal pmf fallback must NOT row-fuse large query lists:
+    infer_posterior_many traces one program per query into one XLA
+    computation, which is pathological for big duplicate batches on big
+    networks (the round-5 warmup regression: 256 copies of a 724-node
+    sweep). Lists > 16 go through the cached per-plan program
+    sequentially; the serving-path marker reports the degradation."""
+    v = _fresh_discrete_vbn()
+    v.set_inference_method("likelihood_weighting", n_samples=S)
+    calls = {"many": 0}
+    orig = type(v._inference).infer_posterior_many
+
+    def counting(self, vbn, qs, **kw):
+        calls["many"] += 1
+        return orig(self, vbn, qs, **kw)
+
+    type(v._inference).infer_posterior_many = counting
+    try:
+        q = {"target": "c", "evidence": {"a": [[0.0]]}}
+        rows, spans = v.infer_posterior_pmf([q] * 20, n_classes=4)
+    finally:
+        type(v._inference).infer_posterior_many = orig
+    assert calls["many"] == 0  # sequential cached-program path
+    assert rows.shape == (20, 4)
+    assert v._last_summary_path == "stream"
+    # small lists still fuse
+    calls["many"] = 0
+    type(v._inference).infer_posterior_many = counting
+    try:
+        v.infer_posterior_pmf([q] * 4, n_classes=4)
+    finally:
+        type(v._inference).infer_posterior_many = orig
+    assert calls["many"] == 1

@@ -414,6 +414,7 @@ class VBN:
         out = None
         if fused is not None:
             out = fused(self, qs, n_classes=n_classes, **kwargs)
+        self._last_summary_path = "fused" if out is not None else "stream"
         if out is None:
             out = self._reduce_from_stream(qs, "pmf", int(n_classes), kwargs)
         return out
@@ -437,6 +438,7 @@ class VBN:
         out = None
         if fused is not None:
             out = fused(self, qs, **kwargs)
+        self._last_summary_path = "fused" if out is not None else "stream"
         if out is None:
             out = self._reduce_from_stream(qs, "mom", None, kwargs)
         return out
@@ -456,7 +458,14 @@ class VBN:
         """
         many = getattr(self._inference, "infer_posterior_many", None)
         call_kw = dict(kwargs)
-        if many is not None:
+        # The row-fused dispatch traces one program PER query into a
+        # single XLA computation — safe for serving-sized lists, but a
+        # large list of (possibly duplicate) queries on a big network
+        # would build a pathological trace (256 copies of a 724-node
+        # sweep compiles for hours). The fallback favors robustness:
+        # fuse small lists, run big ones sequentially through the ONE
+        # cached per-plan program.
+        if many is not None and len(qs) <= 16:
             results = many(self, qs, **call_kw)
         else:
             results = None
