@@ -76,6 +76,11 @@ _SMEM_BUDGET = 900 * 1024  # bytes
 _EV_BIT = 1 << 16
 _DO_BIT = 1 << 17
 
+import os as _os_mod
+
+# Trace-time probe flag (see the branchless block in _scan_kernel).
+_BRANCHLESS = _os_mod.environ.get("VBN_SCAN_BRANCHLESS", "0") == "1"
+
 
 def scan_sweep_reason(plan, cpds, n_samples: int):
     """None when the scan-form kernel applies, else the failing condition."""
@@ -330,7 +335,69 @@ def _scan_kernel(
             )
             return val, jnp.zeros((tm, _LANE), jnp.float32)
 
-        val, lp = jax.lax.cond(fxm > 0, fixed_branch, latent_branch)
+        if _BRANCHLESS:
+            # ONE shared row loop (VBN_SCAN_BRANCHLESS=1): the fixed and
+            # latent paths share the dominant per-entry cost
+            # (_row_total) and a handful of selects replace the per-node
+            # lax.cond — probing whether Mosaic's branch overhead is
+            # part of the kernel's ~150-scalar-ops/node floor (round-5
+            # roofline). Draw bits are IDENTICAL to the branched form
+            # (same uniforms, same walk arithmetic). Read at trace time;
+            # use a fresh process per setting.
+            fmask = jnp.full((tm, _LANE), fxm > 0)
+
+            def row_both(r, carry):
+                val, lp = carry
+                m = pidx == r
+                base = eoff + r * card
+                total_s = _row_total(base)
+                cnt_s = tbl_ref[base + fixed_v]
+                ratio = cnt_s / jnp.maximum(total_s, 1e-12)
+                lp_r = jnp.log(
+                    jnp.maximum(jnp.full((tm, _LANE), ratio), 1e-12)
+                )
+                lp = jnp.where(m & fmask, lp_r, lp)
+                thresh = u * total_s
+                if unroll:
+                    val_r = jnp.zeros((tm, _LANE), jnp.int32)
+                    cum_s = 0.0
+                    for j in range(cmax - 1):
+                        cum_s = cum_s + jnp.where(
+                            j < card, tbl_ref[base + j], 0.0
+                        )
+                        val_r = val_r + jnp.where(
+                            j < card - 1,
+                            (cum_s <= thresh).astype(jnp.int32),
+                            0,
+                        )
+                else:
+                    def cls_walk(j, c):
+                        v, cum = c
+                        cum = cum + tbl_ref[base + j]
+                        v = v + (cum <= thresh).astype(jnp.int32)
+                        return v, cum
+
+                    val_r, _ = jax.lax.fori_loop(
+                        0, card - 1, cls_walk,
+                        (jnp.zeros((tm, _LANE), jnp.int32), 0.0),
+                    )
+                val_sel = jnp.where(
+                    fmask,
+                    jnp.full((tm, _LANE), fixed_v, jnp.int32),
+                    val_r,
+                )
+                val = jnp.where(m, val_sel, val)
+                return val, lp
+
+            val, lp = jax.lax.fori_loop(
+                0, rows, row_both,
+                (
+                    jnp.zeros((tm, _LANE), jnp.int32),
+                    jnp.zeros((tm, _LANE), jnp.float32),
+                ),
+            )
+        else:
+            val, lp = jax.lax.cond(fxm > 0, fixed_branch, latent_branch)
         vals_ref[i] = val
 
         if need_logw:
