@@ -49,6 +49,7 @@ def _run_script(rel_dir: str, name: str, timeout: int = 420):
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["VBN_SKIP_PLOTS"] = "1"
+    env["VBN_EXAMPLE_SMOKE"] = "1"  # examples shrink CPU-heavy shapes
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.run(
         [sys.executable, name],
