@@ -81,6 +81,19 @@ import os as _os_mod
 # Trace-time probe flag (see the branchless block in _scan_kernel).
 _BRANCHLESS = _os_mod.environ.get("VBN_SCAN_BRANCHLESS", "0") == "1"
 
+# Gather-form inner loop (VBN_SCAN_GATHER=1 enables; default OFF).
+# Probe result (round 5, v5e, 724n/4096 particles): 0.299 ms/query vs
+# the row loop's 0.259 — the hypothesis that per-particle lane gathers
+# (O(card) vector ops via the merge kernel's take_along_axis pattern,
+# VMEM-resident 128-aligned table) beat the masked row walk FAILED at
+# link-scale fan-ins: average parent-state counts are small (~6 rows),
+# so ~8 gathers x ~15 cycles + the per-node window slice cost as much
+# as the walk they replace. Kept behind the flag (bit-identical draws,
+# covered by the kernel test suite under both settings) for nets with
+# genuinely large parent-state counts.
+_GATHER = _os_mod.environ.get("VBN_SCAN_GATHER", "0") == "1"
+_GATHER_ENTRIES = 2 * 128  # two-vreg window per node
+
 
 def scan_sweep_reason(plan, cpds, n_samples: int):
     """None when the scan-form kernel applies, else the failing condition."""
@@ -208,7 +221,9 @@ def _scan_kernel(
     pids_ref,  # SMEM [N * pmax] i32 parent node ids (0-padded)
     strides_ref,  # SMEM [N * pmax] i32 mixed-radix strides (0-padded)
     tbl_ref,  # SMEM [E] f32 flat CPT counts
+    aoff_ref,  # SMEM [N] i32 128-aligned table row offsets (gather mode)
     u_ref,  # VMEM [1, N * TM, 128] f32 external uniforms, or dummy
+    tblv_ref,  # VMEM [R, 128] f32 128-aligned CPT table (gather mode)
     *rest,  # [logw?] + [tgt?] + [lpt?] [1, TM, 128] + [red?] [1,1,8,128]
     #        + the [N, TM, 128] i32 VMEM value scratch (always last)
     n_nodes: int,
@@ -222,6 +237,7 @@ def _scan_kernel(
     want_lpt: bool,
     red_kind,
     red_src,
+    gather: bool = False,
 ):
     *out_refs, vals_ref = rest
     b = pl.program_id(0)
@@ -258,6 +274,72 @@ def _scan_kernel(
             u = u_ref[0, pl.ds(i * tm, tm), :]
         else:
             u = _uniform_from_bits((tm, _LANE))
+
+        if gather:
+            # Gather-form inner loop (see the _GATHER note): each
+            # particle reads ITS row's entries from a two-vreg window of
+            # the 128-aligned VMEM table — no parent-state row loop.
+            win = tblv_ref[pl.ds(aoff_ref[i], 2), :]  # [2, 128]
+            w0 = jnp.broadcast_to(win[0:1], (tm, _LANE))
+            w1 = jnp.broadcast_to(win[1:2], (tm, _LANE))
+
+            def entry(eidx):
+                """table[eidx] per particle, eidx [TM, 128] i32 < 256."""
+                i0 = jnp.minimum(eidx, _LANE - 1)
+                i1 = jnp.clip(eidx - _LANE, 0, _LANE - 1)
+                g0 = jnp.take_along_axis(
+                    w0, i0, axis=1, mode="promise_in_bounds"
+                )
+                g1 = jnp.take_along_axis(
+                    w1, i1, axis=1, mode="promise_in_bounds"
+                )
+                return jnp.where(eidx < _LANE, g0, g1)
+
+            base_v = pidx * card
+            cnts = []
+            total_v = jnp.zeros((tm, _LANE), jnp.float32)
+            for j in range(cmax):
+                c_j = jnp.where(j < card, entry(base_v + j), 0.0)
+                cnts.append(c_j)
+                total_v = total_v + c_j
+
+            def g_fixed():
+                cnt_f = entry(base_v + fixed_v)
+                ratio = cnt_f / jnp.maximum(total_v, 1e-12)
+                return (
+                    jnp.full((tm, _LANE), fixed_v, jnp.int32),
+                    jnp.log(jnp.maximum(ratio, 1e-12)),
+                )
+
+            def g_latent():
+                thresh = u * total_v
+                cum = jnp.zeros((tm, _LANE), jnp.float32)
+                val_r = jnp.zeros((tm, _LANE), jnp.int32)
+                for j in range(cmax - 1):
+                    cum = cum + cnts[j]
+                    val_r = val_r + jnp.where(
+                        j < card - 1,
+                        (cum <= thresh).astype(jnp.int32),
+                        0,
+                    )
+                return val_r, jnp.zeros((tm, _LANE), jnp.float32)
+
+            val, lp = jax.lax.cond(fxm > 0, g_fixed, g_latent)
+            vals_ref[i] = val
+            if need_logw:
+                logw = logw + evm.astype(jnp.float32) * lp
+            if need_lpt:
+
+                def g_lp_sampled():
+                    cnt_v = entry(base_v + val)
+                    ratio = cnt_v / jnp.maximum(total_v, 1e-12)
+                    return jnp.log(jnp.maximum(ratio, 1e-12))
+
+                lp_t = jax.lax.cond(
+                    (i == ti) & (fxm == 0), g_lp_sampled, lambda: lp
+                )
+                lpt = jnp.where(i == ti, lp_t, lpt)
+            return logw, lpt
 
         # class loops unroll statically up to cmax (masked scalar
         # reads ride the table's zero pad) when the net's class counts
@@ -513,12 +595,40 @@ def categorical_sweep_scan(
     want_logw, want_tgt, want_lpt, red_kind, red_src = _parse_want(want)
     n_stream = int(want_logw) + int(want_tgt) + int(want_lpt)
 
+    # Gather mode: every node's table fits a two-vreg window AND classes
+    # unroll (see _GATHER). aoff = running 128-aligned row offset.
+    entries = [int(r) * int(c) for r, c in zip(rows, cards)]
+    gather = (
+        _GATHER
+        and cmax <= 8
+        and max(entries) <= _GATHER_ENTRIES
+    )
+    aoff_np = np.zeros((n,), np.int32)
+    if gather:
+        at_rows = 0
+        src = []
+        for i, e in enumerate(entries):
+            aoff_np[i] = at_rows
+            nrows = -(-e // _LANE)
+            idx = np.arange(nrows * _LANE)
+            src.append(
+                np.where(idx < e, int(eoff[i]) + np.minimum(idx, e - 1), 0)
+            )
+            at_rows += nrows
+        # trailing pad row: the fixed two-row window of the LAST node may
+        # read one row past its block
+        src.append(np.zeros((_LANE,), np.int64))
+        src_idx = np.concatenate(src).reshape(-1, _LANE)
+        tblv = jnp.take(flat_counts, jnp.asarray(src_idx, np.int32))
+    else:
+        tblv = jnp.zeros((2, _LANE), jnp.float32)  # unused dummy
+
     kernel = functools.partial(
         _scan_kernel,
         n_nodes=n, n_rows_b=b, pmax=pmax, cmax=cmax, tm=tm,
         external_u=external_u,
         want_logw=want_logw, want_tgt=want_tgt, want_lpt=want_lpt,
-        red_kind=red_kind, red_src=red_src,
+        red_kind=red_kind, red_src=red_src, gather=gather,
     )
 
     meta = [
@@ -542,6 +652,12 @@ def categorical_sweep_scan(
     else:
         in_specs.append(pl.BlockSpec((8, _LANE), lambda bb, st, *_: (0, 0)))
         operands.append(jnp.zeros((8, _LANE), jnp.float32))  # unused
+    # 128-aligned table (whole array resident; constant block index ->
+    # copied into VMEM once, not per grid instance)
+    in_specs.append(
+        pl.BlockSpec(tblv.shape, lambda bb, st, *_: (0, 0))
+    )
+    operands.append(tblv)
 
     out_specs = [
         pl.BlockSpec((1, tm, _LANE), lambda bb, st, *_: (bb, st, 0))
@@ -559,7 +675,7 @@ def categorical_sweep_scan(
             jax.ShapeDtypeStruct((b, s_tiles, 8, _LANE), jnp.float32)
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=9,
+        num_scalar_prefetch=10,
         grid=(b, s_tiles),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -570,7 +686,10 @@ def categorical_sweep_scan(
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(seed, packed.T.reshape(-1), tgt_idx, *meta, flat_counts, *operands)
+    )(
+        seed, packed.T.reshape(-1), tgt_idx, *meta, flat_counts,
+        jnp.asarray(aoff_np), *operands,
+    )
     oi = 0
     logw = tgt = lpt = red = None
     if want_logw:
