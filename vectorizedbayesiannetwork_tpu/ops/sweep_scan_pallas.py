@@ -222,6 +222,9 @@ def _scan_kernel(
     strides_ref,  # SMEM [N * pmax] i32 mixed-radix strides (0-padded)
     tbl_ref,  # SMEM [E] f32 flat CPT counts
     aoff_ref,  # SMEM [N] i32 128-aligned table row offsets (gather mode)
+    smap_ref,  # SMEM [N] i32 value-scratch slot per node (leaves -> trash
+    #            slot: nodes never read back do not consume VMEM scratch,
+    #            which is what caps the particle tile TM)
     u_ref,  # VMEM [1, N * TM, 128] f32 external uniforms, or dummy
     tblv_ref,  # VMEM [R, 128] f32 128-aligned CPT table (gather mode)
     *rest,  # [logw?] + [tgt?] + [lpt?] [1, TM, 128] + [red?] [1,1,8,128]
@@ -249,7 +252,7 @@ def _scan_kernel(
     need_lpt = want_lpt or red_src == "lpt"
 
     def node_body(i, carry):
-        logw, lpt = carry
+        logw, lpt, tval = carry
         packed = packed_ref[i * n_rows_b + b]
         fixed_v = packed & 0xFFFF
         evm = (packed >> 16) & 1
@@ -325,7 +328,8 @@ def _scan_kernel(
                 return val_r, jnp.zeros((tm, _LANE), jnp.float32)
 
             val, lp = jax.lax.cond(fxm > 0, g_fixed, g_latent)
-            vals_ref[i] = val
+            vals_ref[smap_ref[i]] = val
+            tval = jnp.where(i == ti, val, tval)
             if need_logw:
                 logw = logw + evm.astype(jnp.float32) * lp
             if need_lpt:
@@ -339,7 +343,7 @@ def _scan_kernel(
                     (i == ti) & (fxm == 0), g_lp_sampled, lambda: lp
                 )
                 lpt = jnp.where(i == ti, lp_t, lpt)
-            return logw, lpt
+            return logw, lpt, tval
 
         # class loops unroll statically up to cmax (masked scalar
         # reads ride the table's zero pad) when the net's class counts
@@ -480,7 +484,8 @@ def _scan_kernel(
             )
         else:
             val, lp = jax.lax.cond(fxm > 0, fixed_branch, latent_branch)
-        vals_ref[i] = val
+        vals_ref[smap_ref[i]] = val
+        tval = jnp.where(i == ti, val, tval)
 
         if need_logw:
             logw = logw + evm.astype(jnp.float32) * lp
@@ -516,19 +521,19 @@ def _scan_kernel(
                 (i == ti) & (fxm == 0), lp_sampled, lambda: lp
             )
             lpt = jnp.where(i == ti, lp_t, lpt)
-        return logw, lpt
+        return logw, lpt, tval
 
-    logw, lpt = jax.lax.fori_loop(
+    logw, lpt, val_t = jax.lax.fori_loop(
         0,
         n_nodes,
         node_body,
         (
             jnp.zeros((tm, _LANE), jnp.float32),
             jnp.zeros((tm, _LANE), jnp.float32),
+            jnp.zeros((tm, _LANE), jnp.int32),
         ),
     )
 
-    val_t = vals_ref[ti]
     oi = 0
     if want_logw:
         out_refs[oi][0] = logw
@@ -587,7 +592,28 @@ def categorical_sweep_scan(
     eoff, rows, cards, pids, strides, total_e, pmax, cmax = struct
     b, n = packed.shape
     s = n_samples
-    tm = _pick_tm(b, s, n)
+    # Value-scratch COMPACTION: only nodes some other node reads back
+    # (i.e. parents) need a VMEM slot; leaves write to one shared trash
+    # slot and the runtime target's values are tracked in-register. The
+    # scratch is what caps the particle tile TM, and the kernel's
+    # scalar-bound cost is nodes x instances = nodes x B x S/(TM*128) —
+    # at link scale the leaf fraction buys TM 8 -> 16/32, dividing the
+    # dominant cost by 2-4x (round-5 roofline: the row loop's
+    # arithmetic IS the kernel; fewer instances is the lever both
+    # rewrite probes missed).
+    referenced = sorted(
+        {int(p) for row_p in pids for p in row_p} | set()
+    )
+    slot_of = {nid: k for k, nid in enumerate(referenced)}
+    n_eff = len(referenced) + 1  # +1 trash slot for leaves
+    smap_np = np.full((n,), len(referenced), np.int32)
+    for nid, k in slot_of.items():
+        smap_np[nid] = k
+    pids_slots = np.asarray(
+        [[slot_of.get(int(p), 0) for p in row_p] for row_p in pids],
+        np.int32,
+    )
+    tm = _pick_tm(b, s, n_eff)
     s_tiles = s // (tm * _LANE)
     seed = jax.random.bits(key, (1,), "uint32").astype(jnp.int32)
 
@@ -635,7 +661,7 @@ def categorical_sweep_scan(
         jnp.asarray(np.asarray(eoff, np.int32)),
         jnp.asarray(np.asarray(rows, np.int32)),
         jnp.asarray(np.asarray(cards, np.int32)),
-        jnp.asarray(np.asarray(pids, np.int32).reshape(-1)),
+        jnp.asarray(pids_slots.reshape(-1)),  # parent ids AS SLOTS
         jnp.asarray(np.asarray(strides, np.int32).reshape(-1)),
     ]
     in_specs = []
@@ -675,11 +701,11 @@ def categorical_sweep_scan(
             jax.ShapeDtypeStruct((b, s_tiles, 8, _LANE), jnp.float32)
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=10,
+        num_scalar_prefetch=11,
         grid=(b, s_tiles),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((n, tm, _LANE), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((n_eff, tm, _LANE), jnp.int32)],
     )
     outs = pl.pallas_call(
         kernel,
@@ -688,7 +714,7 @@ def categorical_sweep_scan(
         interpret=interpret,
     )(
         seed, packed.T.reshape(-1), tgt_idx, *meta, flat_counts,
-        jnp.asarray(aoff_np), *operands,
+        jnp.asarray(aoff_np), jnp.asarray(smap_np), *operands,
     )
     oi = 0
     logw = tgt = lpt = red = None
@@ -954,7 +980,8 @@ def _lg_scan_kernel(
     fixed_ref,  # SMEM [N * B] f32 clamped values (node-major)
     flags_ref,  # SMEM [N * B] i32: ev | do<<1
     tgt_ref,  # SMEM [B] i32
-    pids_ref,  # SMEM [N * pmax] i32 parent ids (0-padded)
+    pids_ref,  # SMEM [N * pmax] i32 parent SLOT ids (0-padded)
+    smap_ref,  # SMEM [N] i32 value-scratch slot per node (leaves -> trash)
     ptab_ref,  # SMEM [N * (dmax + 2)] f32: w_0..w_{dmax-1}, bias, sigma
     u_ref,  # VMEM [1, 2N * TM, 128] f32 external uniforms, or dummy
     *rest,  # [logw?] + [tgt?] + [lpt?] [1, TM, 128] + [red?] [1,1,8,128]
@@ -981,7 +1008,7 @@ def _lg_scan_kernel(
     stride = dmax + 2
 
     def node_body(i, carry):
-        logw, lpt = carry
+        logw, lpt, tval = carry
         flags = flags_ref[i * n_nodes_b + b]
         fixed_v = fixed_ref[i * n_nodes_b + b]
         evm = flags & 1
@@ -1009,7 +1036,8 @@ def _lg_scan_kernel(
         z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(two_pi * u2)
         sampled = loc + sigma * z
         val = jnp.where(flags > 0, jnp.full((tm, _LANE), fixed_v), sampled)
-        vals_ref[i] = val
+        vals_ref[smap_ref[i]] = val
+        tval = jnp.where(i == ti, val, tval)
 
         # lp at the FINAL value — cheap for LG, so always computed and
         # mask-selected (no per-node lax.cond)
@@ -1017,22 +1045,22 @@ def _lg_scan_kernel(
         lp = -0.5 * zz * zz - jnp.log(sigma) - half_log_2pi
         logw = logw + evm.astype(jnp.float32) * lp
         lpt = jnp.where(i == ti, lp, lpt)
-        return logw, lpt
+        return logw, lpt, tval
 
     # closure constant: per-node row stride of the [N * B] SMEM arrays
     n_nodes_b = pl.num_programs(0)
 
-    logw, lpt = jax.lax.fori_loop(
+    logw, lpt, val_t = jax.lax.fori_loop(
         0,
         n_nodes,
         node_body,
         (
             jnp.zeros((tm, _LANE), jnp.float32),
             jnp.zeros((tm, _LANE), jnp.float32),
+            jnp.zeros((tm, _LANE), jnp.float32),
         ),
     )
 
-    val_t = vals_ref[ti]
     oi = 0
     if want_logw:
         out_refs[oi][0] = logw
@@ -1067,7 +1095,18 @@ def lg_sweep_scan(
     pids, pmax, dmax = struct
     b, n = fixed_vals.shape
     s = n_samples
-    tm = _pick_tm(b, s, n)
+    # value-scratch compaction (see the categorical kernel's note)
+    referenced = sorted({int(p) for row_p in pids for p in row_p})
+    slot_of = {nid: k for k, nid in enumerate(referenced)}
+    n_eff = len(referenced) + 1
+    smap_np = np.full((n,), len(referenced), np.int32)
+    for nid, k in slot_of.items():
+        smap_np[nid] = k
+    pids_slots = np.asarray(
+        [[slot_of.get(int(p), 0) for p in row_p] for row_p in pids],
+        np.int32,
+    )
+    tm = _pick_tm(b, s, n_eff)
     s_tiles = s // (tm * _LANE)
     seed = jax.random.bits(key, (1,), "uint32").astype(jnp.int32)
 
@@ -1081,7 +1120,7 @@ def lg_sweep_scan(
         want_logw=want_logw, want_tgt=want_tgt, want_lpt=want_lpt,
         red_kind=red_kind, red_src=red_src,
     )
-    pids_flat = jnp.asarray(np.asarray(pids, np.int32).reshape(-1))
+    pids_flat = jnp.asarray(pids_slots.reshape(-1))  # parent ids AS SLOTS
     in_specs = []
     operands = []
     if external_u:
@@ -1115,11 +1154,11 @@ def lg_sweep_scan(
             jax.ShapeDtypeStruct((b, s_tiles, 8, _LANE), jnp.float32)
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(b, s_tiles),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((n, tm, _LANE), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((n_eff, tm, _LANE), jnp.float32)],
     )
     outs = pl.pallas_call(
         kernel,
@@ -1132,6 +1171,7 @@ def lg_sweep_scan(
         flags.T.reshape(-1),
         tgt_idx,
         pids_flat,
+        jnp.asarray(smap_np),
         ptab_flat,
         *operands,
     )
